@@ -1,0 +1,28 @@
+"""craytpu — a TPU-native differentiable Monte Carlo path tracer.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+c-ray CPU renderer (reference: /root/reference, VKoskiv/c-ray v0.6.3):
+JSON scenes, OBJ/MTL meshes, two-level SAH BVH, a node-based material
+system, QMC/PRNG samplers with bit-parity PCG32 streams, HDR environment
+lighting, PNG/BMP output, and multi-chip rendering via jax.sharding —
+plus end-to-end differentiability, which the reference does not have.
+
+Layout (maps to the reference's layer map, SURVEY.md §1):
+  craytpu.api       — public API (the `crXxx` functions, c-ray.h)
+  craytpu.cli       — command-line entry (main.c)
+  craytpu.models    — integrators: wavefront path tracer (renderer/pathtrace.c)
+  craytpu.ops       — device kernels: sampler, camera, intersect, traverse,
+                      texture fetch, shading (renderer/samplers, accelerators,
+                      datatypes/poly+sphere, nodes/*)
+  craytpu.scene     — host-side scene pipeline: JSON/OBJ/MTL/texture loaders,
+                      transforms, material graph compiler (utils/loaders, nodes)
+  craytpu.accel     — BVH build + flattening (accelerators/bvh.c build half)
+  craytpu.parallel  — device meshes, sharded render step, checkpointing,
+                      distributed init (utils/protocol + renderer thread pool)
+  craytpu.io        — PNG/BMP encoders, HDR decode (utils/encoders, stb/lodepng)
+  craytpu.utils     — logging, timers, prefs/args (utils/)
+"""
+
+from craytpu.version import __version__
+
+__all__ = ["__version__"]
