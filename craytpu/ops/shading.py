@@ -1,0 +1,462 @@
+"""Material node-graph -> pure-JAX shading program compiler.
+
+The reference evaluates materials by chasing function-pointer node DAGs per
+hit (nodes/*). Here each unique bsdf graph compiles once, at scene-compile
+time, into a scalar-ray JAX function
+
+    sample(params, rec, state) -> (out_dir (3,), color (4,), state)
+
+dispatched per hit with lax.switch over the material's graph id. Every node
+constant lives in the differentiable ShadeParams tables, so gradients flow
+to material colors, values, and texture texels.
+
+Sampler-dimension consumption matches the reference exactly, including
+conditional consumption (metal/glass fuzz only when roughness > 0) via
+lax.cond threading the sampler state — under vmap both branches run on the
+pre-branch state and the taken branch's post-state is selected, which is
+precisely the semantics of the C code's shared sequential stream.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from craytpu.ops import colorops as co
+from craytpu.ops import sampler as smp
+from craytpu.ops import texture as tex
+from craytpu.ops import vecmath as vm
+from craytpu.scene import nodegraph as ng
+
+f32 = jnp.float32
+
+
+class ShadeParams(NamedTuple):
+    """Differentiable material parameter tables."""
+    colors: jnp.ndarray    # (C, 4)
+    values: jnp.ndarray    # (V,)
+    vecs: jnp.ndarray      # (W, 3)
+    texels: jnp.ndarray    # (X,) flat texture buffer
+    emission: jnp.ndarray  # (K, 4) legacy material emission
+    ior: jnp.ndarray       # (K,) legacy material IOR
+
+
+class HitRec(NamedTuple):
+    """hitRecord fields visible to shading (datatypes/hitrecord.h)."""
+    incident: jnp.ndarray   # (3,) ray direction (unnormalized, as in C)
+    normal: jnp.ndarray     # (3,) surface normal (world)
+    uv: jnp.ndarray         # (2,)
+    hit_point: jnp.ndarray  # (3,)
+    distance: jnp.ndarray   # f32
+    emission: jnp.ndarray   # (4,) legacy material emission for this hit
+    ior: jnp.ndarray        # f32 legacy material IOR
+
+
+def dummy_rec(incident=None):
+    z3 = jnp.zeros(3, f32)
+    return HitRec(incident if incident is not None else z3, z3,
+                  jnp.zeros(2, f32), z3, f32(0.0), jnp.zeros(4, f32),
+                  f32(1.0))
+
+
+class Registry:
+    """Assigns parameter-table slots to IR constants (dedup = hash-consing)."""
+
+    def __init__(self, textures):
+        self._colors = []
+        self._cmap = {}
+        self._values = []
+        self._vmap = {}
+        self._vecs = []
+        self._vecmap = {}
+        self.tex_meta = []
+        offset = 0
+        self._tex_bufs = []
+        for t in textures:
+            h, w, c = t.data.shape
+            self.tex_meta.append((offset, w, h, c))
+            self._tex_bufs.append(t.data.reshape(-1))
+            offset += h * w * c
+
+    def color_idx(self, rgba):
+        key = tuple(float(x) for x in rgba)
+        if key not in self._cmap:
+            self._cmap[key] = len(self._colors)
+            self._colors.append(key)
+        return self._cmap[key]
+
+    def value_idx(self, x):
+        key = float(x)
+        if key not in self._vmap:
+            self._vmap[key] = len(self._values)
+            self._values.append(key)
+        return self._vmap[key]
+
+    def vec_idx(self, v):
+        key = tuple(float(x) for x in v)
+        if key not in self._vecmap:
+            self._vecmap[key] = len(self._vecs)
+            self._vecs.append(key)
+        return self._vecmap[key]
+
+    def finalize(self, emission, ior) -> ShadeParams:
+        import numpy as np
+        texels = (np.concatenate(self._tex_bufs) if self._tex_bufs
+                  else np.zeros(1, np.float32))
+        return ShadeParams(
+            colors=jnp.asarray(np.asarray(self._colors, np.float32).reshape(
+                -1, 4) if self._colors else np.zeros((1, 4), np.float32)),
+            values=jnp.asarray(np.asarray(self._values, np.float32)
+                               if self._values else np.zeros(1, np.float32)),
+            vecs=jnp.asarray(np.asarray(self._vecs, np.float32).reshape(-1, 3)
+                             if self._vecs else np.zeros((1, 3), np.float32)),
+            texels=jnp.asarray(texels),
+            emission=jnp.asarray(emission),
+            ior=jnp.asarray(ior),
+        )
+
+
+# --------------------------------------------------------------------------
+# color / value / vector node compilers
+# --------------------------------------------------------------------------
+
+def compile_color(ir, reg: Registry):
+    kind = ir[0]
+    if kind == "const_color":
+        idx = reg.color_idx(ir[1])
+        return lambda p, rec: p.colors[idx]
+    if kind == "image":
+        tex_id, options = ir[1], ir[2]
+        meta = reg.tex_meta[tex_id]
+        no_bilinear = bool(options & ng.NO_BILINEAR)
+        srgb = bool(options & ng.SRGB_TRANSFORM)
+
+        def image_fn(p, rec):
+            if no_bilinear:
+                out = tex.fetch_nearest(p.texels, meta, rec.uv[0] * meta[1],
+                                        rec.uv[1] * meta[2])
+            else:
+                out = tex.fetch_bilinear(p.texels, meta, rec.uv[0], rec.uv[1])
+            if srgb:
+                out = co.color_from_srgb(out)
+            return out
+        return image_fn
+    if kind == "checker":
+        a_fn = compile_color(ir[1], reg)
+        b_fn = compile_color(ir[2], reg)
+        s_fn = compile_value(ir[3], reg)
+
+        def checker_fn(p, rec):
+            coef = s_fn(p, rec)
+            mapped = jnp.sin(coef * rec.uv[0]) * jnp.sin(coef * rec.uv[1])
+            world = (jnp.sin(coef * rec.hit_point[0])
+                     * jnp.sin(coef * rec.hit_point[1])
+                     * jnp.sin(coef * rec.hit_point[2]))
+            sines = jnp.where(rec.uv[0] >= f32(0.0), mapped, world)
+            return jnp.where(sines < f32(0.0), a_fn(p, rec), b_fn(p, rec))
+        return checker_fn
+    if kind == "gradient":
+        d_idx = reg.color_idx(ir[1])
+        u_idx = reg.color_idx(ir[2])
+
+        def gradient_fn(p, rec):
+            unit = vm.vnormalize(rec.incident)
+            t = f32(0.5) * (unit[1] + f32(1.0))
+            return co.color_lerp(p.colors[d_idx], p.colors[u_idx], t)
+        return gradient_fn
+    if kind == "combine":
+        v_fn = compile_value(ir[1], reg)
+
+        def combine_fn(p, rec):
+            v = v_fn(p, rec)
+            return jnp.stack([v, v, v, f32(1.0)])
+        return combine_fn
+    if kind == "combine_rgb":
+        r_fn = compile_value(ir[1], reg)
+        g_fn = compile_value(ir[2], reg)
+        b_fn = compile_value(ir[3], reg)
+        return lambda p, rec: jnp.stack([r_fn(p, rec), g_fn(p, rec),
+                                         b_fn(p, rec), f32(1.0)])
+    if kind == "vec_to_color":
+        vec_fn = compile_vector(ir[1], reg)
+
+        def v2c(p, rec):
+            v, _ = vec_fn(p, rec)
+            return jnp.concatenate([v, jnp.zeros(1, f32)])
+        return v2c
+    raise ValueError(f"unknown color node {kind!r}")
+
+
+def compile_value(ir, reg: Registry):
+    kind = ir[0]
+    if kind == "const_value":
+        idx = reg.value_idx(ir[1])
+        return lambda p, rec: p.values[idx]
+    if kind == "grayscale":
+        c_fn = compile_color(ir[1], reg)
+        return lambda p, rec: co.grayscale_hsp(c_fn(p, rec))
+    if kind == "alpha":
+        c_fn = compile_color(ir[1], reg)
+        return lambda p, rec: c_fn(p, rec)[3]
+    if kind == "raylength":
+        return lambda p, rec: rec.distance
+    if kind == "fresnel":
+        ior_fn = compile_value(ir[1], reg)
+
+        def fresnel_fn(p, rec):
+            ior = ior_fn(p, rec)
+            d = vm.vdot(rec.incident, rec.normal)
+            ln = vm.vlength(rec.incident)
+            cosine = jnp.where(d > f32(0.0), ior * d / ln, -(d / ln))
+            return vm.schlick(cosine, ior)
+        return fresnel_fn
+    if kind == "math":
+        a_fn = compile_value(ir[1], reg)
+        b_fn = compile_value(ir[2], reg)
+        op = ir[3]
+
+        def math_fn(p, rec):
+            a = a_fn(p, rec)
+            b = b_fn(p, rec)
+            return _MATH_IMPL[op](a, b)
+        return math_fn
+    if kind == "vec_to_value":
+        vec_fn = compile_vector(ir[1], reg)
+
+        def v2v(p, rec):
+            _, fval = vec_fn(p, rec)
+            return fval
+        return v2v
+    raise ValueError(f"unknown value node {kind!r}")
+
+
+_MATH_IMPL = {
+    "Add": lambda a, b: a + b,
+    "Subtract": lambda a, b: a - b,
+    "Multiply": lambda a, b: a * b,
+    "Divide": lambda a, b: a / b,
+    "Power": lambda a, b: jnp.power(a, b),
+    "Log": lambda a, b: jnp.log10(a),
+    "SquareRoot": lambda a, b: jnp.sqrt(a),
+    "Absolute": lambda a, b: jnp.abs(a),
+    "Min": lambda a, b: jnp.minimum(a, b),
+    "Max": lambda a, b: jnp.maximum(a, b),
+    "Sine": lambda a, b: jnp.sin(a),
+    "Cosine": lambda a, b: jnp.cos(a),
+    "Tangent": lambda a, b: jnp.tan(a),
+    "ToRadians": lambda a, b: a * (vm.PI / f32(180.0)),
+    "ToDegrees": lambda a, b: a * (f32(180.0) / vm.PI),
+}
+
+
+def compile_vector(ir, reg: Registry):
+    """Vector nodes return (vec (3,), f scalar) like struct vectorValue."""
+    kind = ir[0]
+    if kind == "const_vec":
+        idx = reg.vec_idx(ir[1])
+        return lambda p, rec: (p.vecs[idx], f32(0.0))
+    if kind == "normal":
+        return lambda p, rec: (rec.normal, f32(0.0))
+    if kind == "vec_math":
+        a_fn = compile_vector(ir[1], reg)
+        b_fn = compile_vector(ir[2], reg)
+        op = ir[3]
+
+        def vecmath_fn(p, rec):
+            a, _ = a_fn(p, rec)
+            b, _ = b_fn(p, rec)
+            zero = f32(0.0)
+            if op == "VecAdd":
+                return a + b, zero
+            if op == "VecSubtract":
+                return a - b, zero
+            if op == "VecMultiply":
+                return a * b, zero
+            if op == "VecAverage":
+                return (a + b) * f32(0.5), zero
+            if op == "VecDot":
+                return jnp.zeros(3, f32), vm.vdot(a, b)
+            if op == "VecCross":
+                return vm.vcross(a, b), zero
+            if op == "VecNormalize":
+                return vm.vnormalize(a), zero
+            if op == "VecReflect":
+                return vm.vreflect(a, b), zero
+            if op == "VecLength":
+                return jnp.zeros(3, f32), vm.vlength(a)
+            if op == "VecAbs":
+                return jnp.abs(a), zero
+            raise ValueError(op)
+        return vecmath_fn
+    raise ValueError(f"unknown vector node {kind!r}")
+
+
+# --------------------------------------------------------------------------
+# bsdf compilers
+# --------------------------------------------------------------------------
+
+def compile_bsdf(ir, reg: Registry, kind: str):
+    """Returns sample(params, rec, state) -> (out (3,), color (4,), state)."""
+    node = ir[0]
+
+    if node == "diffuse":
+        color_fn = compile_color(ir[1], reg)
+
+        def diffuse_sample(p, rec, s):
+            rand, s = vm.random_on_unit_sphere(kind, s)
+            out = vm.vnormalize(rec.normal + rand)
+            return out, color_fn(p, rec), s
+        return diffuse_sample
+
+    if node == "metal":
+        color_fn = compile_color(ir[1], reg)
+        rough_fn = compile_value(ir[2], reg)
+
+        def metal_sample(p, rec, s):
+            refl = vm.vreflect(vm.vnormalize(rec.incident), rec.normal)
+            rough = rough_fn(p, rec)
+
+            def fuzzed(st):
+                f, st = vm.random_on_unit_sphere(kind, st)
+                return refl + f * rough, st
+
+            out, s2 = jax.lax.cond(rough > f32(0.0), fuzzed,
+                                   lambda st: (refl, st), s)
+            return out, color_fn(p, rec), s2
+        return metal_sample
+
+    if node == "glass":
+        color_fn = compile_color(ir[1], reg)
+        rough_fn = compile_value(ir[2], reg)
+        ior_fn = compile_value(ir[3], reg)
+
+        def glass_sample(p, rec, s):
+            ior = ior_fn(p, rec)
+            refl = vm.vreflect(rec.incident, rec.normal)
+            d = vm.vdot(rec.incident, rec.normal)
+            ln = vm.vlength(rec.incident)
+            entering = d > f32(0.0)
+            outward = jnp.where(entering, -rec.normal, rec.normal)
+            ni_over_nt = jnp.where(entering, ior, f32(1.0) / ior)
+            cosine = jnp.where(entering, ior * d / ln, -(d / ln))
+            ok, refr = vm.refract(rec.incident, outward, ni_over_nt)
+            refl_prob = jnp.where(ok, vm.schlick(cosine, ior), f32(1.0))
+            rough = rough_fn(p, rec)
+
+            def fuzzed(st):
+                f, st = vm.random_on_unit_sphere(kind, st)
+                return refl + f * rough, refr + f * rough, st
+
+            refl2, refr2, s = jax.lax.cond(
+                rough > f32(0.0), fuzzed, lambda st: (refl, refr, st), s)
+            dim, s = smp.get_dimension(kind, s)
+            out = jnp.where(dim < refl_prob, refl2, refr2)
+            return out, color_fn(p, rec), s
+        return glass_sample
+
+    if node == "plastic":
+        color_fn = compile_color(ir[1], reg)
+        # plastic's roughness is a constant-black COLOR node
+        # (plastic.c:92) and the nested diffuse shares the color node.
+        inner_diffuse = compile_bsdf(("diffuse", ir[1]), reg, kind)
+
+        def plastic_sample(p, rec, s):
+            d = vm.vdot(rec.incident, rec.normal)
+            ln = vm.vlength(rec.incident)
+            entering = d > f32(0.0)
+            outward = jnp.where(entering, -rec.normal, rec.normal)
+            ni_over_nt = jnp.where(entering, rec.ior, f32(1.0) / rec.ior)
+            cosine = jnp.where(entering, rec.ior * d / ln, -(d / ln))
+            ok, _ = vm.refract(rec.incident, outward, ni_over_nt)
+            refl_prob = jnp.where(ok, vm.schlick(cosine, rec.ior), f32(1.0))
+            dim, s = smp.get_dimension(kind, s)
+
+            def shiny(st):
+                # sampleShiny (plastic.c:42-55): roughness.red is 0 by
+                # construction, so no fuzz dims are consumed.
+                refl = vm.vreflect(rec.incident, rec.normal)
+                return refl, co.WHITE, st
+
+            return jax.lax.cond(dim < refl_prob, shiny,
+                                lambda st: inner_diffuse(p, rec, st), s)
+        return plastic_sample
+
+    if node == "emissive":
+        color_fn = compile_color(ir[1], reg)
+        strength_fn = compile_value(ir[2], reg)
+
+        def emissive_sample(p, rec, s):
+            rand, s = vm.random_on_unit_sphere(kind, s)
+            out = vm.vnormalize(rec.normal + rand)
+            c = co.color_coef(strength_fn(p, rec), color_fn(p, rec))
+            return out, c, s
+        return emissive_sample
+
+    if node == "mix":
+        a_fn = compile_bsdf(ir[1], reg, kind)
+        b_fn = compile_bsdf(ir[2], reg, kind)
+        factor_fn = compile_value(ir[3], reg)
+
+        def mix_sample(p, rec, s):
+            lerp = factor_fn(p, rec)
+            dim, s = smp.get_dimension(kind, s)
+            return jax.lax.cond(dim > lerp,
+                                lambda st: a_fn(p, rec, st),
+                                lambda st: b_fn(p, rec, st), s)
+        return mix_sample
+
+    if node == "add":
+        a_fn = compile_bsdf(ir[1], reg, kind)
+        b_fn = compile_bsdf(ir[2], reg, kind)
+
+        def add_sample(p, rec, s):
+            out_a, col_a, s = a_fn(p, rec, s)
+            out_b, col_b, s = b_fn(p, rec, s)
+            return out_a + out_b, col_a + col_b, s
+        return add_sample
+
+    if node == "transparent":
+        color_fn = compile_color(ir[1], reg)
+
+        def transparent_sample(p, rec, s):
+            return rec.incident, color_fn(p, rec), s
+        return transparent_sample
+
+    if node == "isotropic":
+        color_fn = compile_color(ir[1], reg)
+
+        def isotropic_sample(p, rec, s):
+            rand, s = vm.random_on_unit_sphere(kind, s)
+            return vm.vnormalize(rand), color_fn(p, rec), s
+        return isotropic_sample
+
+    if node == "background":
+        raise ValueError("background graphs compile via compile_background")
+
+    raise ValueError(f"unknown bsdf node {node!r}")
+
+
+def compile_background(ir, reg: Registry):
+    """background.c:39-66: equirect env lookup from the escaped ray dir.
+
+    Returns bg(params, incident_dir) -> color (4,). Consumes no dims.
+    """
+    assert ir[0] == "background"
+    color_fn = compile_color(ir[1], reg)
+    strength_fn = compile_value(ir[2], reg)
+    offset_fn = compile_value(ir[3], reg)
+
+    def bg(p, incident):
+        rec0 = dummy_rec(incident)
+        ud = vm.vnormalize(incident)
+        phi = jnp.arctan2(ud[2], ud[0]) / f32(4.0) + offset_fn(p, rec0)
+        theta = jnp.arccos(jnp.clip(-ud[1], f32(-1.0), f32(1.0)))
+        u = theta / vm.PI
+        v = phi / (vm.PI / f32(2.0))
+        u = vm.wrap_min_max(u, f32(0.0), f32(1.0))
+        v = vm.wrap_min_max(v, f32(0.0), f32(1.0))
+        rec = rec0._replace(uv=jnp.stack([v, u]))  # background.c:58
+        return co.color_coef(strength_fn(p, rec), color_fn(p, rec))
+    return bg

@@ -1,0 +1,231 @@
+"""SceneHost -> device pytrees + compiled shading programs.
+
+Flattens all per-mesh BVHs and the TLAS into unified global node arrays
+(node ids: [0, tlas_end) = TLAS, then each BLAS block), packs triangles,
+instances, spheres, builds the global material table, dedups material node
+graphs (the hash-consing analogue) and prepares the differentiable
+ShadeParams tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from craytpu.ops import shading
+from craytpu.ops.camera import CameraHost, make_camera_ray_fn
+from craytpu.scene.device import Geometry, ShadeGeom, INST_MESH, INST_SPHERE
+from craytpu.scene.types import Prefs, SceneHost
+
+F = np.float32
+I = np.int32
+
+
+@dataclass
+class CompiledScene:
+    geom: Geometry
+    shade: ShadeGeom
+    params: shading.ShadeParams
+    mat_graph: jnp.ndarray        # (K,) i32 material -> graph id
+    graphs: list                  # unique bsdf IRs (static)
+    bg_ir: Any
+    reg: shading.Registry
+    camera: CameraHost
+    prefs: Prefs
+    tlas_end: int
+    stack_depth: int
+    n_instances: int
+
+    def bsdf_fns(self, kind: str):
+        return [shading.compile_bsdf(g, self.reg, kind) for g in self.graphs]
+
+    def background_fn(self):
+        return shading.compile_background(self.bg_ir, self.reg)
+
+    def camera_fn(self, kind: str):
+        return make_camera_ray_fn(self.camera, kind)
+
+
+def _mat34(A: np.ndarray) -> np.ndarray:
+    return A[:3, :4].astype(F)
+
+
+def compile_scene(scene: SceneHost) -> CompiledScene:
+    # ---- global material table: mesh materials (mesh order) then spheres
+    materials = []
+    mesh_mat_base = []
+    for mesh in scene.meshes:
+        mesh_mat_base.append(len(materials))
+        materials.extend(mesh.materials)
+    sphere_mat_ids = []
+    for sph in scene.spheres:
+        sphere_mat_ids.append(len(materials))
+        materials.append(sph.material)
+
+    graphs: list = []
+    graph_ids = {}
+    mat_graph = np.zeros(max(len(materials), 1), I)
+    emission = np.zeros((max(len(materials), 1), 4), F)
+    ior = np.ones(max(len(materials), 1), F)
+    for k, m in enumerate(materials):
+        ir = m.bsdf_ir
+        if ir is None:
+            from craytpu.scene.nodegraph import warning_bsdf
+            ir = warning_bsdf()
+        if ir not in graph_ids:
+            graph_ids[ir] = len(graphs)
+            graphs.append(ir)
+        mat_graph[k] = graph_ids[ir]
+        emission[k] = m.emission
+        ior[k] = m.ior
+
+    # ---- triangles (global order: mesh order)
+    tri_base = []
+    total_tris = sum(m.tri_vidx.shape[0] for m in scene.meshes)
+    P = max(total_tris, 1)
+    tri_packed = np.zeros((P, 12), F)
+    tri_nidx = np.zeros((P, 3), I)
+    tri_uvidx = np.zeros((P, 3), I)
+    tri_has_n = np.zeros(P, bool)
+    tri_uv_ok = np.zeros(P, bool)
+    tri_mat = np.zeros(P, I)
+    pos = 0
+    verts = scene.vertices if scene.vertices is not None else np.zeros((1, 3), F)
+    for mi, mesh in enumerate(scene.meshes):
+        n = mesh.tri_vidx.shape[0]
+        tri_base.append(pos)
+        if n == 0:
+            continue
+        v0 = verts[mesh.tri_vidx[:, 0]].astype(F)
+        v1 = verts[mesh.tri_vidx[:, 1]].astype(F)
+        v2 = verts[mesh.tri_vidx[:, 2]].astype(F)
+        e1 = v0 - v1  # poly.c:20
+        e2 = v2 - v0  # poly.c:21
+        nrm = np.cross(e1, e2).astype(F)
+        tri_packed[pos:pos + n] = np.concatenate([v0, e1, e2, nrm], axis=1)
+        tri_nidx[pos:pos + n] = np.maximum(mesh.tri_nidx, 0)
+        tri_uvidx[pos:pos + n] = np.maximum(mesh.tri_uvidx, 0)
+        tri_has_n[pos:pos + n] = mesh.tri_has_n
+        tri_uv_ok[pos:pos + n] = ((mesh.texcoord_count > 0)
+                                  & (mesh.tri_uvidx[:, 0] != -1))
+        tri_mat[pos:pos + n] = mesh_mat_base[mi] + mesh.tri_mat
+        pos += n
+
+    # ---- unified node arrays: TLAS first, then each BLAS
+    tlas = scene.tlas
+    node_blocks_b = [tlas.bounds]
+    node_blocks_c = [tlas.child.copy()]
+    node_blocks_n = [tlas.count.copy()]
+    prim_blocks = [tlas.prim_indices.copy()]  # instance ids
+    node_off = tlas.node_count
+    prim_off = tlas.prim_indices.shape[0]
+    blas_root = np.full(max(len(scene.meshes), 1), -1, I)
+    max_blas_depth = 0
+    for mi, mesh in enumerate(scene.meshes):
+        b = mesh.bvh
+        if b.node_count == 0:
+            continue
+        blas_root[mi] = node_off
+        child = b.child.copy()
+        inner = b.count == 0
+        child[inner] += node_off
+        child[~inner] += prim_off
+        node_blocks_b.append(b.bounds)
+        node_blocks_c.append(child)
+        node_blocks_n.append(b.count)
+        prim_blocks.append(b.prim_indices + tri_base[mi])
+        node_off += b.node_count
+        prim_off += b.prim_indices.shape[0]
+        max_blas_depth = max(max_blas_depth, b.max_depth())
+
+    node_bounds = np.concatenate(node_blocks_b) if node_off else \
+        np.zeros((1, 6), F)
+    node_child = np.concatenate(node_blocks_c).astype(I) if node_off else \
+        np.zeros(1, I)
+    node_count = np.concatenate(node_blocks_n).astype(I) if node_off else \
+        np.zeros(1, I)
+    prim_idx = (np.concatenate(prim_blocks).astype(I) if prim_off
+                else np.zeros(1, I))
+
+    # ---- instances
+    n_inst = len(scene.instances)
+    Imax = max(n_inst, 1)
+    inst_A = np.zeros((Imax, 3, 4), F)
+    inst_Ainv = np.zeros((Imax, 3, 4), F)
+    inst_kind = np.zeros(Imax, I)
+    inst_obj = np.zeros(Imax, I)
+    inst_offset = np.zeros(Imax, F)
+    inst_density = np.zeros(Imax, F)
+    for i, inst in enumerate(scene.instances):
+        inst_A[i] = _mat34(inst.transform.A)
+        inst_Ainv[i] = _mat34(inst.transform.Ainv)
+        inst_kind[i] = inst.kind
+        inst_obj[i] = inst.obj_index
+        inst_density[i] = inst.density
+        if inst.kind == INST_MESH:
+            inst_offset[i] = scene.meshes[inst.obj_index].ray_offset
+        elif inst.kind == INST_SPHERE:
+            inst_offset[i] = scene.spheres[inst.obj_index].ray_offset
+
+    # ---- spheres
+    S = max(len(scene.spheres), 1)
+    sph_radius = np.full(S, 10.0, F)
+    sph_mat = np.zeros(S, I)
+    for si, sph in enumerate(scene.spheres):
+        sph_radius[si] = sph.radius
+        sph_mat[si] = sphere_mat_ids[si]
+
+    geom = Geometry(
+        node_bounds=jnp.asarray(node_bounds),
+        node_child=jnp.asarray(node_child),
+        node_count=jnp.asarray(node_count),
+        prim_idx=jnp.asarray(prim_idx),
+        tri_packed=jnp.asarray(tri_packed),
+        inst_A=jnp.asarray(inst_A),
+        inst_Ainv=jnp.asarray(inst_Ainv),
+        inst_kind=jnp.asarray(inst_kind),
+        inst_obj=jnp.asarray(inst_obj),
+        inst_offset=jnp.asarray(inst_offset),
+        inst_density=jnp.asarray(inst_density),
+        blas_root=jnp.asarray(blas_root),
+        sph_radius=jnp.asarray(sph_radius),
+    )
+    normals = scene.normals if scene.normals is not None and \
+        scene.normals.shape[0] else np.zeros((1, 3), F)
+    uvs = scene.uvs if scene.uvs is not None and scene.uvs.shape[0] else \
+        np.zeros((1, 2), F)
+    shade = ShadeGeom(
+        tri_nidx=jnp.asarray(np.minimum(tri_nidx, normals.shape[0] - 1)),
+        tri_uvidx=jnp.asarray(np.minimum(tri_uvidx, uvs.shape[0] - 1)),
+        tri_has_n=jnp.asarray(tri_has_n),
+        tri_uv_ok=jnp.asarray(tri_uv_ok),
+        tri_mat=jnp.asarray(tri_mat),
+        normals=jnp.asarray(normals.astype(F)),
+        uvs=jnp.asarray(uvs.astype(F)),
+        sph_mat=jnp.asarray(sph_mat),
+    )
+
+    reg = shading.Registry(scene.textures)
+    # pre-register all constants by compiling every graph once (indices are
+    # deterministic; the real compile happens per sampler kind later)
+    from craytpu.scene.nodegraph import background as bg_default
+    bg_ir = scene.background_ir or bg_default()
+    for g in graphs:
+        shading.compile_bsdf(g, reg, "random")
+    shading.compile_background(bg_ir, reg)
+    params = reg.finalize(emission, ior)
+
+    n_mesh_inst = sum(1 for x in scene.instances if x.kind == INST_MESH)
+    stack_depth = (tlas.max_depth() + max_blas_depth
+                   + min(n_mesh_inst, 32) + 4)
+    stack_depth = max(stack_depth, 8)
+
+    return CompiledScene(
+        geom=geom, shade=shade, params=params,
+        mat_graph=jnp.asarray(mat_graph), graphs=graphs, bg_ir=bg_ir,
+        reg=reg, camera=scene.camera, prefs=scene.prefs,
+        tlas_end=int(tlas.node_count), stack_depth=int(stack_depth),
+        n_instances=n_inst)
