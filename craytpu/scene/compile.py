@@ -38,6 +38,8 @@ class CompiledScene:
     tlas_end: int
     stack_depth: int
     n_instances: int
+    max_leaf_tris: int = 16
+    max_leaf_inst: int = 16
 
     def bsdf_fns(self, kind: str):
         return [shading.compile_bsdf(g, self.reg, kind) for g in self.graphs]
@@ -223,9 +225,17 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
                    + min(n_mesh_inst, 32) + 4)
     stack_depth = max(stack_depth, 8)
 
+    # static leaf-size caps for the traversal's masked prim loops
+    max_leaf_inst = int(tlas.count.max()) if tlas.node_count else 1
+    max_leaf_tris = 1
+    for mesh in scene.meshes:
+        if mesh.bvh.node_count:
+            max_leaf_tris = max(max_leaf_tris, int(mesh.bvh.count.max()))
+
     return CompiledScene(
         geom=geom, shade=shade, params=params,
         mat_graph=jnp.asarray(mat_graph), graphs=graphs, bg_ir=bg_ir,
         reg=reg, camera=scene.camera, prefs=scene.prefs,
         tlas_end=int(tlas.node_count), stack_depth=int(stack_depth),
-        n_instances=n_inst)
+        n_instances=n_inst, max_leaf_tris=max_leaf_tris,
+        max_leaf_inst=max_leaf_inst)
