@@ -22,7 +22,6 @@ Per-(pixel, pass) semantics match the reference exactly:
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -61,12 +60,21 @@ def build_wavefront_step(cscene: CompiledScene, kind: str = smp.RANDOM,
         if empty_scene or max_depth == 0:
             if max_depth == 0:
                 return jnp.zeros((B, 4), f32)
-            return jax.vmap(lambda dd: bg_fn(params, dd))(d)
+            return bg_fn(params, d)
 
-        def shade_one(rec, st, gid):
-            return jax.lax.switch(
-                gid, [partial(lambda fn, stt: fn(params, rec, stt), fn)
-                      for fn in bsdf_fns], st)
+        def shade_all(rec, st, gid):
+            """Evaluate every compiled graph on the full wavefront and
+            mask-select by graph id — the batched analogue of the per-hit
+            node-DAG dispatch. (lax.switch would broadcast captured scene
+            constants per lane under batching.)"""
+            out, col, s_sel = bsdf_fns[0](params, rec, st)
+            for gi in range(1, len(bsdf_fns)):
+                o_i, c_i, s_i = bsdf_fns[gi](params, rec, st)
+                m = gid == gi
+                out = jnp.where(m[..., None], o_i, out)
+                col = jnp.where(m[..., None], c_i, col)
+                s_sel = smp.select_state(m, s_i, s_sel)
+            return out, col, s_sel
 
         def body(carry):
             depth, o, d, weight, final, s, alive = carry
@@ -77,7 +85,7 @@ def build_wavefront_step(cscene: CompiledScene, kind: str = smp.RANDOM,
 
             # miss: final += weight * background, terminate
             # (pathtrace.c:39-42)
-            bg = jax.vmap(lambda dd: bg_fn(params, dd))(d)
+            bg = bg_fn(params, d)
             take_bg = (alive & ~is_hit)[..., None]
             final = jnp.where(take_bg, final + weight * bg, final)
 
@@ -91,7 +99,7 @@ def build_wavefront_step(cscene: CompiledScene, kind: str = smp.RANDOM,
                               final + weight * mat_emission, final)
 
             gid = mat_graph[mat_id]
-            out, attenuation, s2 = jax.vmap(shade_one)(rec, s, gid)
+            out, attenuation, s2 = shade_all(rec, s, gid)
             s = smp.select_state(is_hit, s2, s)
 
             # Russian roulette from depth 4 (pathtrace.c:50-55)

@@ -1,27 +1,28 @@
-"""Material node-graph -> pure-JAX shading program compiler.
+"""Material node-graph -> pure-JAX shading program compiler (batched).
 
 The reference evaluates materials by chasing function-pointer node DAGs per
 hit (nodes/*). Here each unique bsdf graph compiles once, at scene-compile
-time, into a scalar-ray JAX function
+time, into a natively batched JAX function
 
-    sample(params, rec, state) -> (out_dir (3,), color (4,), state)
+    sample(params, rec, state) -> (out_dir (B,3), color (B,4), state)
 
-dispatched per hit with lax.switch over the material's graph id. Every node
-constant lives in the differentiable ShadeParams tables, so gradients flow
-to material colors, values, and texture texels.
+evaluated per wavefront with per-lane masks. Every node constant lives in the
+differentiable ShadeParams tables, so gradients flow to material colors,
+values, and texture texels.
 
 Sampler-dimension consumption matches the reference exactly, including
-conditional consumption (metal/glass fuzz only when roughness > 0) via
-lax.cond threading the sampler state — under vmap both branches run on the
-pre-branch state and the taken branch's post-state is selected, which is
-precisely the semantics of the C code's shared sequential stream.
+conditional consumption (metal/glass fuzz only when roughness > 0; mix picks
+one side): both paths run on the SAME pre-branch state and the taken path's
+post-state is selected per lane — precisely the semantics of the C code's
+shared sequential stream. (lax.cond/switch are deliberately avoided: their
+batching rules broadcast captured scene constants, e.g. the texel buffer,
+to (B, X).)
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from craytpu.ops import colorops as co
@@ -44,21 +45,31 @@ class ShadeParams(NamedTuple):
 
 
 class HitRec(NamedTuple):
-    """hitRecord fields visible to shading (datatypes/hitrecord.h)."""
-    incident: jnp.ndarray   # (3,) ray direction (unnormalized, as in C)
-    normal: jnp.ndarray     # (3,) surface normal (world)
-    uv: jnp.ndarray         # (2,)
-    hit_point: jnp.ndarray  # (3,)
-    distance: jnp.ndarray   # f32
-    emission: jnp.ndarray   # (4,) legacy material emission for this hit
-    ior: jnp.ndarray        # f32 legacy material IOR
+    """hitRecord fields visible to shading (datatypes/hitrecord.h).
+
+    All leaves may carry a leading batch dimension."""
+    incident: jnp.ndarray   # (..., 3) ray direction (unnormalized, as in C)
+    normal: jnp.ndarray     # (..., 3) surface normal (world)
+    uv: jnp.ndarray         # (..., 2)
+    hit_point: jnp.ndarray  # (..., 3)
+    distance: jnp.ndarray   # (...)
+    emission: jnp.ndarray   # (..., 4) legacy material emission for this hit
+    ior: jnp.ndarray        # (...) legacy material IOR
 
 
-def dummy_rec(incident=None):
-    z3 = jnp.zeros(3, f32)
-    return HitRec(incident if incident is not None else z3, z3,
-                  jnp.zeros(2, f32), z3, f32(0.0), jnp.zeros(4, f32),
-                  f32(1.0))
+def dummy_rec(incident):
+    shape = incident.shape[:-1]
+    z3 = jnp.zeros(shape + (3,), f32)
+    return HitRec(incident, z3, jnp.zeros(shape + (2,), f32), z3,
+                  jnp.zeros(shape, f32), jnp.zeros(shape + (4,), f32),
+                  jnp.ones(shape, f32))
+
+
+def select_sample(pred, a, b):
+    """Per-lane select between two (out, color, state) samples."""
+    return (jnp.where(pred[..., None], a[0], b[0]),
+            jnp.where(pred[..., None], a[1], b[1]),
+            smp.select_state(pred, a[2], b[2]))
 
 
 class Registry:
@@ -118,6 +129,14 @@ class Registry:
         )
 
 
+def _bcast_shape(rec: HitRec):
+    return rec.distance.shape
+
+
+def _ones(rec):
+    return jnp.ones(_bcast_shape(rec), f32)
+
+
 # --------------------------------------------------------------------------
 # color / value / vector node compilers
 # --------------------------------------------------------------------------
@@ -126,7 +145,7 @@ def compile_color(ir, reg: Registry):
     kind = ir[0]
     if kind == "const_color":
         idx = reg.color_idx(ir[1])
-        return lambda p, rec: p.colors[idx]
+        return lambda p, rec: (p.colors[idx] * _ones(rec)[..., None])
     if kind == "image":
         tex_id, options = ir[1], ir[2]
         meta = reg.tex_meta[tex_id]
@@ -134,11 +153,13 @@ def compile_color(ir, reg: Registry):
         srgb = bool(options & ng.SRGB_TRANSFORM)
 
         def image_fn(p, rec):
+            u = rec.uv[..., 0]
+            v = rec.uv[..., 1]
             if no_bilinear:
-                out = tex.fetch_nearest(p.texels, meta, rec.uv[0] * meta[1],
-                                        rec.uv[1] * meta[2])
+                out = tex.fetch_nearest(p.texels, meta, u * meta[1],
+                                        v * meta[2])
             else:
-                out = tex.fetch_bilinear(p.texels, meta, rec.uv[0], rec.uv[1])
+                out = tex.fetch_bilinear(p.texels, meta, u, v)
             if srgb:
                 out = co.color_from_srgb(out)
             return out
@@ -150,12 +171,14 @@ def compile_color(ir, reg: Registry):
 
         def checker_fn(p, rec):
             coef = s_fn(p, rec)
-            mapped = jnp.sin(coef * rec.uv[0]) * jnp.sin(coef * rec.uv[1])
-            world = (jnp.sin(coef * rec.hit_point[0])
-                     * jnp.sin(coef * rec.hit_point[1])
-                     * jnp.sin(coef * rec.hit_point[2]))
-            sines = jnp.where(rec.uv[0] >= f32(0.0), mapped, world)
-            return jnp.where(sines < f32(0.0), a_fn(p, rec), b_fn(p, rec))
+            mapped = (jnp.sin(coef * rec.uv[..., 0])
+                      * jnp.sin(coef * rec.uv[..., 1]))
+            world = (jnp.sin(coef * rec.hit_point[..., 0])
+                     * jnp.sin(coef * rec.hit_point[..., 1])
+                     * jnp.sin(coef * rec.hit_point[..., 2]))
+            sines = jnp.where(rec.uv[..., 0] >= f32(0.0), mapped, world)
+            return jnp.where((sines < f32(0.0))[..., None],
+                             a_fn(p, rec), b_fn(p, rec))
         return checker_fn
     if kind == "gradient":
         d_idx = reg.color_idx(ir[1])
@@ -163,28 +186,33 @@ def compile_color(ir, reg: Registry):
 
         def gradient_fn(p, rec):
             unit = vm.vnormalize(rec.incident)
-            t = f32(0.5) * (unit[1] + f32(1.0))
+            t = f32(0.5) * (unit[..., 1] + f32(1.0))
             return co.color_lerp(p.colors[d_idx], p.colors[u_idx], t)
         return gradient_fn
     if kind == "combine":
         v_fn = compile_value(ir[1], reg)
 
         def combine_fn(p, rec):
-            v = v_fn(p, rec)
-            return jnp.stack([v, v, v, f32(1.0)])
+            v = v_fn(p, rec) * _ones(rec)
+            return jnp.stack([v, v, v, jnp.ones_like(v)], axis=-1)
         return combine_fn
     if kind == "combine_rgb":
         r_fn = compile_value(ir[1], reg)
         g_fn = compile_value(ir[2], reg)
         b_fn = compile_value(ir[3], reg)
-        return lambda p, rec: jnp.stack([r_fn(p, rec), g_fn(p, rec),
-                                         b_fn(p, rec), f32(1.0)])
+
+        def combine_rgb_fn(p, rec):
+            one = _ones(rec)
+            return jnp.stack([r_fn(p, rec) * one, g_fn(p, rec) * one,
+                              b_fn(p, rec) * one, one], axis=-1)
+        return combine_rgb_fn
     if kind == "vec_to_color":
         vec_fn = compile_vector(ir[1], reg)
 
         def v2c(p, rec):
             v, _ = vec_fn(p, rec)
-            return jnp.concatenate([v, jnp.zeros(1, f32)])
+            v = v * _ones(rec)[..., None]
+            return jnp.concatenate([v, jnp.zeros_like(v[..., :1])], axis=-1)
         return v2c
     raise ValueError(f"unknown color node {kind!r}")
 
@@ -193,13 +221,13 @@ def compile_value(ir, reg: Registry):
     kind = ir[0]
     if kind == "const_value":
         idx = reg.value_idx(ir[1])
-        return lambda p, rec: p.values[idx]
+        return lambda p, rec: p.values[idx] * _ones(rec)
     if kind == "grayscale":
         c_fn = compile_color(ir[1], reg)
         return lambda p, rec: co.grayscale_hsp(c_fn(p, rec))
     if kind == "alpha":
         c_fn = compile_color(ir[1], reg)
-        return lambda p, rec: c_fn(p, rec)[3]
+        return lambda p, rec: c_fn(p, rec)[..., 3]
     if kind == "raylength":
         return lambda p, rec: rec.distance
     if kind == "fresnel":
@@ -218,16 +246,14 @@ def compile_value(ir, reg: Registry):
         op = ir[3]
 
         def math_fn(p, rec):
-            a = a_fn(p, rec)
-            b = b_fn(p, rec)
-            return _MATH_IMPL[op](a, b)
+            return _MATH_IMPL[op](a_fn(p, rec), b_fn(p, rec))
         return math_fn
     if kind == "vec_to_value":
         vec_fn = compile_vector(ir[1], reg)
 
         def v2v(p, rec):
             _, fval = vec_fn(p, rec)
-            return fval
+            return fval * _ones(rec)
         return v2v
     raise ValueError(f"unknown value node {kind!r}")
 
@@ -252,13 +278,14 @@ _MATH_IMPL = {
 
 
 def compile_vector(ir, reg: Registry):
-    """Vector nodes return (vec (3,), f scalar) like struct vectorValue."""
+    """Vector nodes return (vec (..., 3), f scalar) like struct vectorValue."""
     kind = ir[0]
     if kind == "const_vec":
         idx = reg.vec_idx(ir[1])
-        return lambda p, rec: (p.vecs[idx], f32(0.0))
+        return lambda p, rec: (p.vecs[idx] * _ones(rec)[..., None],
+                               jnp.zeros(_bcast_shape(rec), f32))
     if kind == "normal":
-        return lambda p, rec: (rec.normal, f32(0.0))
+        return lambda p, rec: (rec.normal, jnp.zeros(_bcast_shape(rec), f32))
     if kind == "vec_math":
         a_fn = compile_vector(ir[1], reg)
         b_fn = compile_vector(ir[2], reg)
@@ -267,7 +294,8 @@ def compile_vector(ir, reg: Registry):
         def vecmath_fn(p, rec):
             a, _ = a_fn(p, rec)
             b, _ = b_fn(p, rec)
-            zero = f32(0.0)
+            zero = jnp.zeros(_bcast_shape(rec), f32)
+            z3 = jnp.zeros_like(a)
             if op == "VecAdd":
                 return a + b, zero
             if op == "VecSubtract":
@@ -277,7 +305,7 @@ def compile_vector(ir, reg: Registry):
             if op == "VecAverage":
                 return (a + b) * f32(0.5), zero
             if op == "VecDot":
-                return jnp.zeros(3, f32), vm.vdot(a, b)
+                return z3, vm.vdot(a, b)
             if op == "VecCross":
                 return vm.vcross(a, b), zero
             if op == "VecNormalize":
@@ -285,7 +313,7 @@ def compile_vector(ir, reg: Registry):
             if op == "VecReflect":
                 return vm.vreflect(a, b), zero
             if op == "VecLength":
-                return jnp.zeros(3, f32), vm.vlength(a)
+                return z3, vm.vlength(a)
             if op == "VecAbs":
                 return jnp.abs(a), zero
             raise ValueError(op)
@@ -294,11 +322,15 @@ def compile_vector(ir, reg: Registry):
 
 
 # --------------------------------------------------------------------------
-# bsdf compilers
+# bsdf compilers (batched, mask-select branching)
 # --------------------------------------------------------------------------
 
 def compile_bsdf(ir, reg: Registry, kind: str):
-    """Returns sample(params, rec, state) -> (out (3,), color (4,), state)."""
+    """Returns sample(params, rec, state) -> (out (..,3), color (..,4), state).
+
+    Branch semantics: both sides evaluate from the same pre-branch sampler
+    state; the taken side's post-state is selected per lane (identical to
+    the C sequential stream)."""
     node = ir[0]
 
     if node == "diffuse":
@@ -317,14 +349,12 @@ def compile_bsdf(ir, reg: Registry, kind: str):
         def metal_sample(p, rec, s):
             refl = vm.vreflect(vm.vnormalize(rec.incident), rec.normal)
             rough = rough_fn(p, rec)
-
-            def fuzzed(st):
-                f, st = vm.random_on_unit_sphere(kind, st)
-                return refl + f * rough, st
-
-            out, s2 = jax.lax.cond(rough > f32(0.0), fuzzed,
-                                   lambda st: (refl, st), s)
-            return out, color_fn(p, rec), s2
+            fz, s_adv = vm.random_on_unit_sphere(kind, s)
+            fuzzy = rough > f32(0.0)
+            out = jnp.where(fuzzy[..., None],
+                            refl + fz * rough[..., None], refl)
+            s = smp.select_state(fuzzy, s_adv, s)
+            return out, color_fn(p, rec), s
         return metal_sample
 
     if node == "glass":
@@ -338,49 +368,54 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             d = vm.vdot(rec.incident, rec.normal)
             ln = vm.vlength(rec.incident)
             entering = d > f32(0.0)
-            outward = jnp.where(entering, -rec.normal, rec.normal)
+            outward = jnp.where(entering[..., None], -rec.normal, rec.normal)
             ni_over_nt = jnp.where(entering, ior, f32(1.0) / ior)
             cosine = jnp.where(entering, ior * d / ln, -(d / ln))
             ok, refr = vm.refract(rec.incident, outward, ni_over_nt)
             refl_prob = jnp.where(ok, vm.schlick(cosine, ior), f32(1.0))
             rough = rough_fn(p, rec)
-
-            def fuzzed(st):
-                f, st = vm.random_on_unit_sphere(kind, st)
-                return refl + f * rough, refr + f * rough, st
-
-            refl2, refr2, s = jax.lax.cond(
-                rough > f32(0.0), fuzzed, lambda st: (refl, refr, st), s)
+            fz, s_adv = vm.random_on_unit_sphere(kind, s)
+            fuzzy = rough > f32(0.0)
+            refl = jnp.where(fuzzy[..., None],
+                             refl + fz * rough[..., None], refl)
+            refr = jnp.where(fuzzy[..., None],
+                             refr + fz * rough[..., None], refr)
+            s = smp.select_state(fuzzy, s_adv, s)
             dim, s = smp.get_dimension(kind, s)
-            out = jnp.where(dim < refl_prob, refl2, refr2)
+            out = jnp.where((dim < refl_prob)[..., None], refl, refr)
             return out, color_fn(p, rec), s
         return glass_sample
 
     if node == "plastic":
         color_fn = compile_color(ir[1], reg)
-        # plastic's roughness is a constant-black COLOR node
-        # (plastic.c:92) and the nested diffuse shares the color node.
+        # plastic's roughness is a constant-black COLOR node (plastic.c:92)
+        # and the nested diffuse shares the color node.
+        rough_color_fn = compile_color(ng.const_color(ng.BLACK), reg)
         inner_diffuse = compile_bsdf(("diffuse", ir[1]), reg, kind)
 
         def plastic_sample(p, rec, s):
             d = vm.vdot(rec.incident, rec.normal)
             ln = vm.vlength(rec.incident)
             entering = d > f32(0.0)
-            outward = jnp.where(entering, -rec.normal, rec.normal)
+            outward = jnp.where(entering[..., None], -rec.normal, rec.normal)
             ni_over_nt = jnp.where(entering, rec.ior, f32(1.0) / rec.ior)
             cosine = jnp.where(entering, rec.ior * d / ln, -(d / ln))
             ok, _ = vm.refract(rec.incident, outward, ni_over_nt)
             refl_prob = jnp.where(ok, vm.schlick(cosine, rec.ior), f32(1.0))
             dim, s = smp.get_dimension(kind, s)
-
-            def shiny(st):
-                # sampleShiny (plastic.c:42-55): roughness.red is 0 by
-                # construction, so no fuzz dims are consumed.
-                refl = vm.vreflect(rec.incident, rec.normal)
-                return refl, co.WHITE, st
-
-            return jax.lax.cond(dim < refl_prob, shiny,
-                                lambda st: inner_diffuse(p, rec, st), s)
+            take_shiny = dim < refl_prob
+            # sampleShiny (plastic.c:42-55)
+            refl = vm.vreflect(rec.incident, rec.normal)
+            rough = rough_color_fn(p, rec)[..., 0]
+            fz, s_fuzz = vm.random_on_unit_sphere(kind, s)
+            fuzzy = rough > f32(0.0)
+            shiny_out = jnp.where(fuzzy[..., None],
+                                  refl + fz * rough[..., None], refl)
+            s_shiny = smp.select_state(fuzzy, s_fuzz, s)
+            shiny_col = jnp.ones(_bcast_shape(rec) + (4,), f32)
+            diff = inner_diffuse(p, rec, s)
+            return select_sample(take_shiny, (shiny_out, shiny_col, s_shiny),
+                                 diff)
         return plastic_sample
 
     if node == "emissive":
@@ -402,9 +437,8 @@ def compile_bsdf(ir, reg: Registry, kind: str):
         def mix_sample(p, rec, s):
             lerp = factor_fn(p, rec)
             dim, s = smp.get_dimension(kind, s)
-            return jax.lax.cond(dim > lerp,
-                                lambda st: a_fn(p, rec, st),
-                                lambda st: b_fn(p, rec, st), s)
+            return select_sample(dim > lerp, a_fn(p, rec, s),
+                                 b_fn(p, rec, s))
         return mix_sample
 
     if node == "add":
@@ -441,7 +475,8 @@ def compile_bsdf(ir, reg: Registry, kind: str):
 def compile_background(ir, reg: Registry):
     """background.c:39-66: equirect env lookup from the escaped ray dir.
 
-    Returns bg(params, incident_dir) -> color (4,). Consumes no dims.
+    Returns bg(params, incident_dir (..., 3)) -> color (..., 4).
+    Consumes no dims.
     """
     assert ir[0] == "background"
     color_fn = compile_color(ir[1], reg)
@@ -451,12 +486,13 @@ def compile_background(ir, reg: Registry):
     def bg(p, incident):
         rec0 = dummy_rec(incident)
         ud = vm.vnormalize(incident)
-        phi = jnp.arctan2(ud[2], ud[0]) / f32(4.0) + offset_fn(p, rec0)
-        theta = jnp.arccos(jnp.clip(-ud[1], f32(-1.0), f32(1.0)))
+        phi = (jnp.arctan2(ud[..., 2], ud[..., 0]) / f32(4.0)
+               + offset_fn(p, rec0))
+        theta = jnp.arccos(jnp.clip(-ud[..., 1], f32(-1.0), f32(1.0)))
         u = theta / vm.PI
         v = phi / (vm.PI / f32(2.0))
         u = vm.wrap_min_max(u, f32(0.0), f32(1.0))
         v = vm.wrap_min_max(v, f32(0.0), f32(1.0))
-        rec = rec0._replace(uv=jnp.stack([v, u]))  # background.c:58
+        rec = rec0._replace(uv=jnp.stack([v, u], axis=-1))  # background.c:58
         return co.color_coef(strength_fn(p, rec), color_fn(p, rec))
     return bg

@@ -25,12 +25,12 @@ def _fetch_internal(texels, meta, xi, yi):
     base = offset + (x + (h - 1 - y) * w) * ch
     if ch == 1:
         r = texels[base]
-        return jnp.stack([r, r, r, f32(1.0)])
+        return jnp.stack([r, r, r, jnp.ones_like(r)], axis=-1)
     r = texels[base]
     g = texels[base + 1]
     b = texels[base + 2]
-    a = texels[base + 3] if ch > 3 else f32(1.0)
-    return jnp.stack([r, g, b, jnp.asarray(a, f32)])
+    a = texels[base + 3] if ch > 3 else jnp.ones_like(r)
+    return jnp.stack([r, g, b, a], axis=-1)
 
 
 def fetch_nearest(texels, meta, x, y):
@@ -52,8 +52,8 @@ def fetch_bilinear(texels, meta, u, v):
     tr = _fetch_internal(texels, meta, xi + 1, yi)
     bl = _fetch_internal(texels, meta, xi, yi + 1)
     br = _fetch_internal(texels, meta, xi + 1, yi + 1)
-    fx = xc - xi.astype(f32)
-    fy = yc - yi.astype(f32)
+    fx = (xc - xi.astype(f32))[..., None]
+    fy = (yc - yi.astype(f32))[..., None]
     top = tl * (f32(1.0) - fx) + tr * fx
     bot = bl * (f32(1.0) - fx) + br * fx
     return top * (f32(1.0) - fy) + bot * fy

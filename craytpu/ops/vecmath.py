@@ -72,7 +72,8 @@ def random_on_unit_sphere(kind: str, s: smp.SamplerState):
     a = sx * (f32(2.0) * PI)
     t = jnp.maximum(f32(0.0), sy * (f32(1.0) - sy))
     r = f32(2.0) * jnp.sqrt(t)
-    return vec(jnp.cos(a) * r, jnp.sin(a) * r, f32(1.0) - f32(2.0) * sy), s
+    return jnp.stack([jnp.cos(a) * r, jnp.sin(a) * r,
+                      f32(1.0) - f32(2.0) * sy], axis=-1), s
 
 
 def random_coord_on_unit_disc(kind: str, s: smp.SamplerState):
