@@ -2,12 +2,13 @@
 
 The TPU-native replacement for the reference's per-pixel megakernel loop
 (renderer/pathtrace.c:32-60 + renderThread renderer.c:258-327): the whole
-frame is one SoA wavefront of rays advancing bounce-by-bounce in lockstep.
-The bounce loop and the BVH walk are natively batched lax.while_loops with
-SCALAR exit conditions (any-lane-alive), so scene buffers stay loop
-invariants instead of being masked per lane; per-lane divergence is handled
-with masks. The loop exits as soon as every lane terminated, so shallow
-scenes don't pay for the configured bounce depth.
+frame is one SoA wavefront of rays advancing bounce-by-bounce. Each bounce is
+ONE jitted device step (closest-hit traversal + deferred hit info + node-
+graph shading + Russian roulette); the bounce loop runs on the host with an
+early exit as soon as every lane has terminated. Keeping the bounce loop out
+of the compiled graph keeps the TPU kernel small (the traversal while-loop
+is the only device-side loop) and is the natural seam for stream compaction
+and multi-chip sharding.
 
 Per-(pixel, pass) semantics match the reference exactly:
   - sampler re-seeded per (pixel, pass): Random/PCG32 in batch mode
@@ -22,9 +23,11 @@ Per-(pixel, pass) semantics match the reference exactly:
 
 from __future__ import annotations
 
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from craytpu.ops import sampler as smp
 from craytpu.ops import shading
@@ -36,33 +39,58 @@ i32 = jnp.int32
 u32 = jnp.uint32
 
 
-def build_wavefront_step(cscene: CompiledScene, kind: str = smp.RANDOM,
-                         bounces: int | None = None):
-    """Returns trace(params, geom, shade, mat_graph, xs, ys, pass_idx, spp)
-    -> (B, 4) colors for a flat batch of pixel coordinates."""
-    width = cscene.camera.width
-    max_depth = bounces if bounces is not None else cscene.prefs.bounces
-    cam_fn = cscene.camera_fn(kind)
-    bg_fn = cscene.background_fn()
-    bsdf_fns = cscene.bsdf_fns(kind)
-    empty_scene = cscene.n_instances == 0
-    traverse = trv.make_traverse_fn(cscene.tlas_end, cscene.stack_depth,
-                                    cscene.max_leaf_tris,
-                                    cscene.max_leaf_inst)
+class WavefrontRenderer:
+    """Compiled render pipeline for one scene + sampler kind."""
 
-    def trace(params, geom, shade, mat_graph, xs, ys, pass_idx, spp):
-        B = xs.shape[0]
-        pix_idx = ys.astype(u32) * u32(width) + xs.astype(u32)
-        s = smp.init_sampler(kind, jnp.full(B, pass_idx, i32),
-                             jnp.full(B, spp, i32), pix_idx)
-        o, d, s = jax.vmap(cam_fn)(xs, ys, s)
+    def __init__(self, cscene: CompiledScene, kind: str = smp.RANDOM,
+                 bounces: int | None = None):
+        from craytpu.utils.jaxsetup import setup_jax
+        setup_jax()
+        self.cscene = cscene
+        self.kind = kind
+        self.width = cscene.camera.width
+        self.height = cscene.camera.height
+        self.max_depth = (bounces if bounces is not None
+                          else cscene.prefs.bounces)
+        self.cam_fn = cscene.camera_fn(kind)
+        self.bg_fn = cscene.background_fn()
+        self.bsdf_fns = cscene.bsdf_fns(kind)
+        self.empty_scene = cscene.n_instances == 0
+        self.traverse = trv.make_traverse_fn(
+            cscene.tlas_end, cscene.stack_depth, cscene.max_leaf_tris,
+            cscene.max_leaf_inst)
 
-        if empty_scene or max_depth == 0:
-            if max_depth == 0:
-                return jnp.zeros((B, 4), f32)
-            return bg_fn(params, d)
+        self._init_rays = jax.jit(self._make_init_rays())
+        # two variants: pre-RR (depth < 4) and RR (depth >= 4)
+        self._step_pre = jax.jit(self._make_step(False),
+                                 donate_argnums=(4, 5, 6, 7, 8, 9))
+        self._step_rr = jax.jit(self._make_step(True),
+                                donate_argnums=(4, 5, 6, 7, 8, 9))
+        self._bg_only = jax.jit(
+            lambda params, d: self.bg_fn(params, d))
 
-        def shade_all(rec, st, gid):
+    # ------------------------------------------------------------------
+    def _make_init_rays(self):
+        kind = self.kind
+        width = self.width
+        cam_fn = self.cam_fn
+
+        def init_rays(xs, ys, pass_idx, spp):
+            B = xs.shape[0]
+            pix_idx = ys.astype(u32) * u32(width) + xs.astype(u32)
+            s = smp.init_sampler(kind, jnp.full(B, pass_idx, i32),
+                                 jnp.full(B, spp, i32), pix_idx)
+            o, d, s = jax.vmap(cam_fn)(xs, ys, s)
+            return o, d, s
+        return init_rays
+
+    def _make_step(self, rr_phase: bool):
+        kind = self.kind
+        bg_fn = self.bg_fn
+        bsdf_fns = self.bsdf_fns
+        traverse = self.traverse
+
+        def shade_all(params, rec, st, gid):
             """Evaluate every compiled graph on the full wavefront and
             mask-select by graph id — the batched analogue of the per-hit
             node-DAG dispatch. (lax.switch would broadcast captured scene
@@ -76,8 +104,8 @@ def build_wavefront_step(cscene: CompiledScene, kind: str = smp.RANDOM,
                 s_sel = smp.select_state(m, s_i, s_sel)
             return out, col, s_sel
 
-        def body(carry):
-            depth, o, d, weight, final, s, alive = carry
+        def step(params, geom, shade, mat_graph, o, d, weight, final, s,
+                 alive):
             hit = traverse(geom, o, d)
             is_hit, p_w, n_w, uv, mat_id = trv.hit_info(geom, shade, o, d,
                                                         hit)
@@ -99,20 +127,20 @@ def build_wavefront_step(cscene: CompiledScene, kind: str = smp.RANDOM,
                               final + weight * mat_emission, final)
 
             gid = mat_graph[mat_id]
-            out, attenuation, s2 = shade_all(rec, s, gid)
+            out, attenuation, s2 = shade_all(params, rec, s, gid)
             s = smp.select_state(is_hit, s2, s)
 
-            # Russian roulette from depth 4 (pathtrace.c:50-55)
-            prob = jnp.where(
-                depth >= 4,
-                jnp.maximum(attenuation[..., 0],
-                            jnp.maximum(attenuation[..., 1],
-                                        attenuation[..., 2])),
-                f32(1.0))
-            need_rr = is_hit & (depth >= 4)
-            rr_dim, s3 = smp.get_dimension(kind, s)
-            s = smp.select_state(need_rr, s3, s)
-            rr_break = need_rr & (rr_dim > prob)
+            if rr_phase:
+                # Russian roulette (pathtrace.c:50-55)
+                prob = jnp.maximum(attenuation[..., 0],
+                                   jnp.maximum(attenuation[..., 1],
+                                               attenuation[..., 2]))
+                rr_dim, s3 = smp.get_dimension(kind, s)
+                s = smp.select_state(is_hit, s3, s)
+                rr_break = is_hit & (rr_dim > prob)
+            else:
+                prob = jnp.ones_like(attenuation[..., 0])
+                rr_break = jnp.zeros_like(is_hit)
 
             survive = is_hit & ~rr_break
             weight = jnp.where(survive[..., None],
@@ -120,61 +148,70 @@ def build_wavefront_step(cscene: CompiledScene, kind: str = smp.RANDOM,
                                weight)
             o = jnp.where(survive[..., None], p_w, o)
             d = jnp.where(survive[..., None], out, d)
-            return depth + 1, o, d, weight, final, s, survive
+            return o, d, weight, final, s, survive
+        return step
 
-        def cond(carry):
-            depth, _, _, _, _, _, alive = carry
-            return (depth < max_depth) & jnp.any(alive)
+    # ------------------------------------------------------------------
+    def trace_batch(self, xs, ys, pass_idx: int, spp: int):
+        """Trace one pass for a flat batch of pixel coords -> (B, 4)."""
+        B = xs.shape[0]
+        o, d, s = self._init_rays(xs, ys, i32(pass_idx), i32(spp))
+        if self.empty_scene or self.max_depth == 0:
+            if self.max_depth == 0:
+                return jnp.zeros((B, 4), f32)
+            return self._bg_only(self.cscene.params, d)
 
-        init = (i32(0), o, d, jnp.ones((B, 4), f32), jnp.zeros((B, 4), f32),
-                s, jnp.ones(B, bool))
-        out = jax.lax.while_loop(cond, body, init)
-        return out[4]
+        weight = jnp.ones((B, 4), f32)
+        final = jnp.zeros((B, 4), f32)
+        alive = jnp.ones(B, bool)
+        cs = self.cscene
+        for depth in range(self.max_depth):
+            step = self._step_rr if depth >= 4 else self._step_pre
+            o, d, weight, final, s, alive = step(
+                cs.params, cs.geom, cs.shade, cs.mat_graph,
+                o, d, weight, final, s, alive)
+            # Synchronize every bounce: gives the early exit AND keeps the
+            # dispatch queue shallow (long async queues destabilize the
+            # single-chip tunnel runtime).
+            if not bool(jnp.any(alive)):
+                break
+        return final
 
-    return trace
+    def render_pass(self, accum, pass_idx: int, spp: int):
+        H, W = self.height, self.width
+        ys, xs = np.meshgrid(np.arange(H, dtype=np.int32),
+                             np.arange(W, dtype=np.int32), indexing="ij")
+        sample = self.trace_batch(jnp.asarray(xs.reshape(-1)),
+                                  jnp.asarray(ys.reshape(-1)),
+                                  pass_idx, spp).reshape(H, W, 4)
+        n = f32(pass_idx + 1)
+        return (accum * (n - f32(1.0)) + sample) / n
 
-
-def build_render_pass(cscene: CompiledScene, kind: str = smp.RANDOM,
-                      bounces: int | None = None):
-    """One full-frame pass with running-average accumulation.
-
-    render_pass(params, geom, shade, mat_graph, accum (H,W,4), pass_idx, spp)
-    -> accum. pass_idx is 0-based (completedSamples - 1); the running mean
-    matches renderer.c:287-294 with completedSamples = pass_idx + 1.
-    """
-    trace = build_wavefront_step(cscene, kind, bounces)
-    H = cscene.camera.height
-    W = cscene.camera.width
-
-    def render_pass(params, geom, shade, mat_graph, accum, pass_idx, spp):
-        ys, xs = jnp.meshgrid(jnp.arange(H, dtype=i32),
-                              jnp.arange(W, dtype=i32), indexing="ij")
-        sample = trace(params, geom, shade, mat_graph,
-                       xs.reshape(-1), ys.reshape(-1), pass_idx,
-                       spp).reshape(H, W, 4)
-        n = (pass_idx + 1).astype(f32)
-        out = (accum * (n - f32(1.0)) + sample) / n
-        return out
-
-    return render_pass
+    def render(self, spp: int | None = None, progress=None):
+        spp = spp if spp is not None else self.cscene.prefs.sample_count
+        accum = jnp.zeros((self.height, self.width, 4), f32)
+        for p in range(spp):
+            accum = self.render_pass(accum, p, spp)
+            if progress is not None:
+                progress(p + 1, spp, accum)
+        return jax.device_get(accum)
 
 
 def render(cscene: CompiledScene, kind: str = smp.RANDOM,
            spp: int | None = None, bounces: int | None = None,
            progress=None):
-    """Full render: host loop over passes, jitted per-pass kernel.
+    """Full render. Returns the float accumulation buffer (H, W, 4), y-up
+    like the reference's renderBuffer (row y=0 is the image BOTTOM; the PNG
+    writer flips)."""
+    return WavefrontRenderer(cscene, kind, bounces).render(spp, progress)
 
-    Returns the float accumulation buffer (H, W, 4), y-up like the
-    reference's renderBuffer (row y=0 is the image BOTTOM; the PNG writer
-    flips)."""
-    spp = spp if spp is not None else cscene.prefs.sample_count
-    H, W = cscene.camera.height, cscene.camera.width
-    render_pass = jax.jit(build_render_pass(cscene, kind, bounces),
-                          donate_argnums=(4,))
-    accum = jnp.zeros((H, W, 4), f32)
-    for p in range(spp):
-        accum = render_pass(cscene.params, cscene.geom, cscene.shade,
-                            cscene.mat_graph, accum, i32(p), i32(spp))
-        if progress is not None:
-            progress(p + 1, spp, accum)
-    return jax.device_get(accum)
+
+def build_render_pass(cscene: CompiledScene, kind: str = smp.RANDOM,
+                      bounces: int | None = None):
+    """Compatibility shim: returns render_pass(params, geom, shade,
+    mat_graph, accum, pass_idx, spp) for tests; not jitted as a whole."""
+    r = WavefrontRenderer(cscene, kind, bounces)
+
+    def render_pass(params, geom, shade, mat_graph, accum, pass_idx, spp):
+        return r.render_pass(accum, int(pass_idx), int(spp))
+    return render_pass

@@ -117,7 +117,10 @@ def make_traverse_fn(tlas_end: int, stack_depth: int,
                 bp = jnp.where(sp_hit, -1, bp)
                 bi = jnp.where(sp_hit, ii, bi)
                 root = geom.blas_root[jnp.where(kind == INST_MESH, obj, 0)]
-                push = valid & (kind == INST_MESH) & (root >= 0)
+                # overflow-safe: drop the push if the stack is full (a full
+                # stack would otherwise overwrite the top and cycle forever)
+                push = (valid & (kind == INST_MESH) & (root >= 0)
+                        & (p < stack_depth))
                 slot = jnp.minimum(p, stack_depth - 1)
                 sn = sn.at[lanes, slot].set(
                     jnp.where(push, root, sn[lanes, slot]))
@@ -148,6 +151,7 @@ def make_traverse_fn(tlas_end: int, stack_depth: int,
             far = jnp.where(swap, left, right)
             only = jnp.where(hit_l, left, right)
 
+            both = both & (sp < stack_depth)  # overflow-safe push
             slot = jnp.minimum(sp, stack_depth - 1)
             st_n = st_n.at[lanes, slot].set(
                 jnp.where(both, far, st_n[lanes, slot]))

@@ -220,9 +220,13 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
     shading.compile_background(bg_ir, reg)
     params = reg.finalize(emission, ior)
 
+    # Worst-case unified stack: every TLAS level can push a far node, every
+    # mesh instance can be pending as a BLAS root, and the deepest BLAS path
+    # pushes a far node per level. Overflowing pushes are dropped by the
+    # traversal, but size generously so that never happens in practice.
     n_mesh_inst = sum(1 for x in scene.instances if x.kind == INST_MESH)
     stack_depth = (tlas.max_depth() + max_blas_depth
-                   + min(n_mesh_inst, 32) + 4)
+                   + min(n_mesh_inst, 64) + 8)
     stack_depth = max(stack_depth, 8)
 
     # static leaf-size caps for the traversal's masked prim loops

@@ -1,0 +1,27 @@
+"""Shared JAX runtime configuration.
+
+Enables the persistent compilation cache (the integrator's bounce kernel is
+expensive to compile on TPU) and provides helpers to query the platform.
+"""
+
+from __future__ import annotations
+
+import os
+
+_CONFIGURED = False
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    global _CONFIGURED
+    if _CONFIGURED:
+        return
+    import jax
+    cache = cache_dir or os.environ.get(
+        "CRAYTPU_CACHE", os.path.expanduser("~/.cache/craytpu-jax"))
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    _CONFIGURED = True
