@@ -25,4 +25,10 @@ Layout (maps to the reference's layer map, SURVEY.md §1):
 
 from craytpu.version import __version__
 
+# Configure the JAX runtime (compile cache, CRAYTPU_PLATFORM pin) before any
+# module creates a device array, so platform selection actually applies.
+from craytpu.utils.jaxsetup import setup_jax as _setup_jax
+
+_setup_jax()
+
 __all__ = ["__version__"]

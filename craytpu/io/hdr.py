@@ -21,8 +21,8 @@ def _decode_rgbe(rgbe: np.ndarray) -> np.ndarray:
 
 
 def read_hdr(path: str) -> np.ndarray:
-    with open(path, "rb") as f:
-        data = f.read()
+    from craytpu.utils.fileio import load_file
+    data = load_file(path)
 
     # header
     pos = 0

@@ -1,0 +1,182 @@
+"""CLI entry point — the equivalent of src/main.c.
+
+Flow mirrors main.c:14-42: initialize -> parse args -> (worker mode |
+load scene from file/stdin -> render -> write image). Adds what the
+wavefront design gives for free: live progress stats, SIGINT
+checkpoint-and-save, and --resume.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from craytpu import args as cliargs
+from craytpu.utils import logging
+from craytpu.version import REFERENCE_VERSION, __version__
+
+
+def _status(pass_done: int, spp: int, t_start: float, width: int,
+            height: int) -> None:
+    """The reference's live stats line (renderer.c:137-155): completion %,
+    us/path (approximated per pixel-sample), ETA, Msamples/s."""
+    elapsed = time.perf_counter() - t_start
+    frac = pass_done / spp
+    samples = width * height * pass_done
+    rate = samples / elapsed if elapsed > 0 else 0.0
+    us_per = 1e6 / rate if rate > 0 else 0.0
+    eta_ms = (elapsed / frac * (1 - frac)) * 1e3 if frac > 0 else 0.0
+    sys.stderr.write(
+        f"\r[{int(frac * 100):3d}%] μs/path: {us_per:.2f}, "
+        f"ETA: {logging.smart_time(eta_ms)}, {rate / 1e6:.2f}Ms/s "
+        f"(pass {pass_done}/{spp})")
+    sys.stderr.flush()
+    if pass_done == spp:
+        sys.stderr.write("\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    opts = cliargs.parse_args(argv)
+    logging.set_verbose(bool(opts.get("v")))
+    logging.info("craytpu v%s (c-ray %s capability surface)",
+                 __version__, REFERENCE_VERSION)
+
+    if opts.get("help"):
+        print(cliargs.USAGE.format(prog="craytpu"))
+        return 0
+
+    if opts.get("runTests") or opts.get("runPerfTests"):
+        # test dispatch lives in the CLI exactly like args.c:224-249; we
+        # delegate to pytest (the testrunner equivalent)
+        import subprocess
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        suite = opts.get("test_suite")
+        sel = ["-k", suite] if suite else []
+        if opts["test_idx"] in (-2, -3):
+            out = subprocess.run(
+                [sys.executable, "-m", "pytest", "--collect-only", "-q",
+                 os.path.join(repo, "tests")] + sel,
+                capture_output=True, text=True)
+            n = sum(1 for line in out.stdout.splitlines() if "::" in line)
+            print(n)
+            return 0
+        return subprocess.call(
+            [sys.executable, "-m", "pytest", "-q",
+             os.path.join(repo, "tests")] + sel)
+
+    if opts.get("shutdown") and opts.get("nodes_list"):
+        from craytpu.parallel import cluster
+        cluster.shutdown_workers(opts["nodes_list"])
+        return 0
+
+    if opts.get("is_worker"):
+        from craytpu.parallel import cluster
+        return cluster.start_worker(port=opts.get("worker_port", 2222))
+
+    # ---- load scene (main.c:21-27) ----
+    overrides = cliargs.scene_overrides(opts)
+    clustering = bool(opts.get("use_clustering") and opts.get("nodes_list"))
+    from craytpu.utils import fileio
+    from craytpu.scene.sceneloader import load_scene_from_buf
+    assets = fileio.start_recording() if clustering else None
+    input_file = opts.get("inputFile")
+    if input_file:
+        scene_text = fileio.load_file(input_file, text=True)
+        asset_path = os.path.dirname(os.path.abspath(input_file)) + "/"
+        scene = load_scene_from_buf(scene_text, asset_path, overrides)
+    else:
+        logging.info("Reading scene JSON from stdin")
+        scene_text = sys.stdin.read()
+        asset_path = ""
+        scene = load_scene_from_buf(scene_text, asset_path, overrides)
+    if clustering:
+        fileio.stop_recording()
+
+    from craytpu.scene.compile import compile_scene
+    from craytpu.models.wavefront_pt import WavefrontRenderer
+    from craytpu.ops import sampler as smp
+    from craytpu.runtime import checkpoint
+
+    cscene = compile_scene(scene)
+    kind = smp.HALTON if opts.get("interactive") else smp.RANDOM
+    r = WavefrontRenderer(cscene, kind=kind)
+
+    import jax.numpy as jnp
+    import numpy as np
+    spp = scene.prefs.sample_count
+    start_pass = 0
+    accum = jnp.zeros((r.height, r.width, 4), jnp.float32)
+    if opts.get("resume"):
+        acc_np, start_pass, total = checkpoint.load(opts["resume"])
+        if acc_np.shape != (r.height, r.width, 4) or total != spp:
+            logging.error("Checkpoint %s does not match this render "
+                          "(shape %s vs %s, spp %d vs %d)", opts["resume"],
+                          acc_np.shape, (r.height, r.width, 4), total, spp)
+        accum = jnp.asarray(acc_np)
+        logging.info("Resuming at pass %d/%d", start_pass, spp)
+
+    ckpt_path = os.path.join(scene.prefs.img_file_path or ".",
+                             scene.prefs.img_file_name + ".ckpt.npz")
+
+    logging.info("Rendering at %dx%d", r.width, r.height)
+    logging.info("Rendering %d samples with %d bounces", spp, r.max_depth)
+    logging.info("Pathtracing on %s...", _backend_name())
+
+    if clustering:
+        from craytpu.parallel import cluster
+        t0 = time.perf_counter()
+        clients = cluster.sync_with_clients(
+            opts["nodes_list"], scene_text, asset_path, assets, overrides)
+        if not clients:
+            logging.warning("No network render workers, rendering locally")
+
+        def tile_progress(done, total):
+            sys.stderr.write(f"\r[{int(done / total * 100):3d}%] "
+                             f"tile {done}/{total}")
+            sys.stderr.flush()
+        fb = cluster.render_clustered(scene, r, clients, spp,
+                                      progress=tile_progress)
+        sys.stderr.write("\n")
+        render_ms = (time.perf_counter() - t0) * 1e3
+        logging.info("Finished render in %s", logging.smart_time(render_ms))
+        from craytpu.api import Renderer
+        api = Renderer(scene=scene, compiled=cscene, framebuffer=fb,
+                       render_time_ms=render_ms)
+        api.write_image()
+        return 0
+
+    t0 = time.perf_counter()
+    interrupted = False
+    try:
+        for p in range(start_pass, spp):
+            accum = r.render_pass(accum, p, spp)
+            accum.block_until_ready()
+            _status(p + 1, spp, t0, r.width, r.height)
+    except KeyboardInterrupt:
+        interrupted = True
+        p_done = p  # passes fully completed before the interrupted one
+        sys.stderr.write("\n")
+        logging.info("Aborting render (pass %d/%d); checkpointing", p_done,
+                     spp)
+        checkpoint.save(ckpt_path, np.asarray(accum), p_done, spp)
+        logging.info("Wrote checkpoint %s (resume with --resume)", ckpt_path)
+
+    render_ms = (time.perf_counter() - t0) * 1e3
+    logging.info("Finished render in %s", logging.smart_time(render_ms))
+
+    # ---- write image (main.c:30, c-ray.c:85-111) ----
+    from craytpu.api import Renderer
+    api = Renderer(scene=scene, compiled=cscene,
+                   framebuffer=np.asarray(accum), render_time_ms=render_ms)
+    api.write_image()
+    return 130 if interrupted else 0
+
+
+def _backend_name() -> str:
+    try:
+        import jax
+        return jax.devices()[0].platform
+    except Exception:
+        return "unknown"

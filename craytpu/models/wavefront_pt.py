@@ -39,11 +39,19 @@ i32 = jnp.int32
 u32 = jnp.uint32
 
 
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
 class WavefrontRenderer:
     """Compiled render pipeline for one scene + sampler kind."""
 
     def __init__(self, cscene: CompiledScene, kind: str = smp.RANDOM,
-                 bounces: int | None = None):
+                 bounces: int | None = None, tile_rays: int | None = None):
+        import os
         from craytpu.utils.jaxsetup import setup_jax
         setup_jax()
         self.cscene = cscene
@@ -52,6 +60,14 @@ class WavefrontRenderer:
         self.height = cscene.camera.height
         self.max_depth = (bounces if bounces is not None
                           else cscene.prefs.bounces)
+        # Frames are rendered in fixed-size ray batches ("tiles", the
+        # wavefront analogue of tile.c): one device dispatch per batch keeps
+        # each TPU step short (the watchdog kills long-running steps) and
+        # bounds live-ray memory. One compile serves all batches.
+        npix = self.width * self.height
+        self.tile_rays = int(tile_rays or
+                             os.environ.get("CRAYTPU_TILE_RAYS", 0) or
+                             min(1 << 18, _next_pow2(npix)))
         self.cam_fn = cscene.camera_fn(kind)
         self.bg_fn = cscene.background_fn()
         self.bsdf_fns = cscene.bsdf_fns(kind)
@@ -84,7 +100,15 @@ class WavefrontRenderer:
             return o, d, s
         return init_rays
 
-    def _make_step(self, rr_phase: bool):
+    def _make_step(self, rr_phase):
+        """Build one wavefront bounce step.
+
+        rr_phase False/True bakes the Russian-roulette phase in statically
+        (used by the host bounce loop, two compiled variants); "dynamic"
+        makes the step take an extra traced `rr_active` bool so a lax.scan
+        can run every depth through ONE compiled body (the differentiable /
+        multi-chip path).
+        """
         kind = self.kind
         bg_fn = self.bg_fn
         bsdf_fns = self.bsdf_fns
@@ -105,9 +129,16 @@ class WavefrontRenderer:
             return out, col, s_sel
 
         def step(params, geom, shade, mat_graph, o, d, weight, final, s,
-                 alive):
-            hit = traverse(geom, o, d)
-            is_hit, p_w, n_w, uv, mat_id = trv.hit_info(geom, shade, o, d,
+                 alive, rr_active=None):
+            # Detach the traversal inputs: the discrete BVH walk (a
+            # lax.while_loop) must not sit on the reverse-AD path. Gradients
+            # w.r.t. material params flow through the throughput/attenuation
+            # chain instead (detached-sampling estimator); the forward values
+            # are unchanged.
+            o_t = jax.lax.stop_gradient(o)
+            d_t = jax.lax.stop_gradient(d)
+            hit = traverse(geom, o_t, d_t)
+            is_hit, p_w, n_w, uv, mat_id = trv.hit_info(geom, shade, o_t, d_t,
                                                         hit)
             is_hit = is_hit & alive
 
@@ -130,16 +161,29 @@ class WavefrontRenderer:
             out, attenuation, s2 = shade_all(params, rec, s, gid)
             s = smp.select_state(is_hit, s2, s)
 
-            if rr_phase:
+            maxc = jnp.maximum(attenuation[..., 0],
+                               jnp.maximum(attenuation[..., 1],
+                                           attenuation[..., 2]))
+            # the survival probability is a sampling decision, not a value
+            # the estimator differentiates through (detached, like the lobe
+            # choices inside the bsdfs)
+            maxc = jax.lax.stop_gradient(maxc)
+            if rr_phase == "dynamic":
+                # Russian roulette gated by a traced flag (one compiled body
+                # serves every depth under lax.scan)
+                rr_dim, s3 = smp.get_dimension(kind, s)
+                s = smp.select_state(is_hit & rr_active, s3, s)
+                prob = jnp.where(rr_active, maxc,
+                                 jnp.ones_like(maxc))
+                rr_break = is_hit & rr_active & (rr_dim > prob)
+            elif rr_phase:
                 # Russian roulette (pathtrace.c:50-55)
-                prob = jnp.maximum(attenuation[..., 0],
-                                   jnp.maximum(attenuation[..., 1],
-                                               attenuation[..., 2]))
+                prob = maxc
                 rr_dim, s3 = smp.get_dimension(kind, s)
                 s = smp.select_state(is_hit, s3, s)
                 rr_break = is_hit & (rr_dim > prob)
             else:
-                prob = jnp.ones_like(attenuation[..., 0])
+                prob = jnp.ones_like(maxc)
                 rr_break = jnp.zeros_like(is_hit)
 
             survive = is_hit & ~rr_break
@@ -152,6 +196,51 @@ class WavefrontRenderer:
         return step
 
     # ------------------------------------------------------------------
+    def make_trace_fn(self, depth: int | None = None):
+        """Pure, jittable, differentiable fixed-depth trace.
+
+        Returns trace(params, xs, ys, pass_idx, spp) -> (B, 4) radiance with
+        the bounce loop unrolled to `depth` (no host early-exit — terminated
+        lanes idle masked). This is the function the multi-chip shard_map and
+        the gradient path jit; geometry/shading tables are closed over.
+        """
+        depth = depth if depth is not None else self.max_depth
+        kind = self.kind
+        width = self.width
+        cam_fn = self.cam_fn
+        step_dyn = self._make_step("dynamic")
+        cs = self.cscene
+        geom, shade, mat_graph = cs.geom, cs.shade, cs.mat_graph
+        bg_fn = self.bg_fn
+        empty = self.empty_scene
+
+        def trace(params, xs, ys, pass_idx, spp):
+            B = xs.shape[0]
+            pix_idx = ys.astype(u32) * u32(width) + xs.astype(u32)
+            s = smp.init_sampler(kind, jnp.broadcast_to(pass_idx, (B,)),
+                                 jnp.broadcast_to(spp, (B,)), pix_idx)
+            o, d, s = jax.vmap(cam_fn)(xs, ys, s)
+            if empty or depth == 0:
+                if depth == 0:
+                    return jnp.zeros((B, 4), f32)
+                return bg_fn(params, d)
+            weight = jnp.ones((B, 4), f32)
+            final = jnp.zeros((B, 4), f32)
+            alive = jnp.ones(B, bool)
+
+            def body(carry, k):
+                o, d, weight, final, s, alive = carry
+                o, d, weight, final, s, alive = step_dyn(
+                    params, geom, shade, mat_graph, o, d, weight, final, s,
+                    alive, k >= 4)
+                return (o, d, weight, final, s, alive), None
+
+            (o, d, weight, final, s, alive), _ = jax.lax.scan(
+                body, (o, d, weight, final, s, alive),
+                jnp.arange(depth, dtype=i32))
+            return final
+        return trace
+
     def trace_batch(self, xs, ys, pass_idx: int, spp: int):
         """Trace one pass for a flat batch of pixel coords -> (B, 4)."""
         B = xs.shape[0]
@@ -177,13 +266,43 @@ class WavefrontRenderer:
                 break
         return final
 
-    def render_pass(self, accum, pass_idx: int, spp: int):
+    @property
+    def _pixel_schedule(self):
+        """Tile-ordered pixel permutation (xs, ys, flat_idx), padded to a
+        whole number of fixed-size ray batches. Cached."""
+        if getattr(self, "_sched", None) is None:
+            from craytpu.runtime.tile import pixel_order
+            p = self.cscene.prefs
+            xs, ys, tiles, offsets = pixel_order(
+                self.width, self.height, p.tile_width, p.tile_height,
+                p.tile_order)
+            npix = self.width * self.height
+            T = min(self.tile_rays, _next_pow2(npix))
+            if npix % T:
+                pad = T - npix % T
+                xs = np.concatenate([xs, np.zeros(pad, np.int32)])
+                ys = np.concatenate([ys, np.zeros(pad, np.int32)])
+            flat = ys.astype(np.int64) * self.width + xs.astype(np.int64)
+            self._sched = (jnp.asarray(xs), jnp.asarray(ys),
+                           jnp.asarray(flat), T, tiles, offsets)
+        return self._sched
+
+    def render_pass(self, accum, pass_idx: int, spp: int, on_batch=None):
         H, W = self.height, self.width
-        ys, xs = np.meshgrid(np.arange(H, dtype=np.int32),
-                             np.arange(W, dtype=np.int32), indexing="ij")
-        sample = self.trace_batch(jnp.asarray(xs.reshape(-1)),
-                                  jnp.asarray(ys.reshape(-1)),
-                                  pass_idx, spp).reshape(H, W, 4)
+        npix = H * W
+        xs, ys, flat, T, _, _ = self._pixel_schedule
+        N = xs.shape[0]
+        sample = jnp.zeros((npix, 4), f32)
+        for t0 in range(0, N, T):
+            chunk = self.trace_batch(xs[t0:t0 + T], ys[t0:t0 + T],
+                                     pass_idx, spp)
+            # padded lanes re-trace pixel (0,0) with the same per-(pixel,
+            # pass) stream, so their duplicate scatter writes the identical
+            # value the true (0,0) lane writes
+            sample = sample.at[flat[t0:t0 + T]].set(chunk)
+            if on_batch is not None:
+                on_batch(min(t0 + T, npix), npix)
+        sample = sample.reshape(H, W, 4)
         n = f32(pass_idx + 1)
         return (accum * (n - f32(1.0)) + sample) / n
 

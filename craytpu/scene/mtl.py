@@ -21,8 +21,8 @@ def _color(toks):
 
 def parse_mtl(file_path: str, texture_loader=None) -> list[MaterialHost]:
     try:
-        with open(file_path, "r", errors="replace") as f:
-            text = f.read()
+        from craytpu.utils.fileio import load_file
+        text = load_file(file_path, text=True)
     except OSError:
         logging.warning("MTL not found: %s", file_path)
         return []

@@ -152,8 +152,16 @@ def parse_prefs(data, overrides: dict | None = None) -> Prefs:
         p.sample_count = int(overrides["samples"])
     if "dims" in overrides:
         p.image_width, p.image_height = overrides["dims"]
+    if "width" in overrides:
+        p.image_width = int(overrides["width"])
+    if "height" in overrides:
+        p.image_height = int(overrides["height"])
     if "tiledims" in overrides:
         p.tile_width, p.tile_height = overrides["tiledims"]
+    if "tileWidth" in overrides:
+        p.tile_width = int(overrides["tileWidth"])
+    if "tileHeight" in overrides:
+        p.tile_height = int(overrides["tileHeight"])
     return p
 
 
@@ -484,7 +492,7 @@ def load_scene_from_buf(text: str, asset_path: str = "",
 
 
 def load_scene_from_file(path: str, overrides: dict | None = None) -> SceneHost:
-    with open(path, "r") as f:
-        text = f.read()
+    from craytpu.utils.fileio import load_file
+    text = load_file(path, text=True)
     asset_path = os.path.dirname(os.path.abspath(path)) + "/"
     return load_scene_from_buf(text, asset_path, overrides)

@@ -41,7 +41,8 @@ def load_texture(path: str) -> TextureHost | None:
             arr = read_hdr(path)
             return TextureHost(arr.astype(F), arr.shape[2], True, path)
         from PIL import Image
-        img = Image.open(path)
+        from craytpu.utils.fileio import open_file
+        img = Image.open(open_file(path))
         if img.mode == "P":
             img = img.convert("RGBA" if "transparency" in img.info else "RGB")
         arr = np.asarray(img)

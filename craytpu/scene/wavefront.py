@@ -63,8 +63,8 @@ def _parse_face_token(tok: str):
 def parse_wavefront(file_path: str, buffers: GlobalBuffers,
                     texture_loader=None) -> MeshHost:
     """parseWavefront (wavefront.c:128-269). Returns a single MeshHost."""
-    with open(file_path, "r", errors="replace") as f:
-        text = f.read()
+    from craytpu.utils.fileio import load_file
+    text = load_file(file_path, text=True)
     asset_path = os.path.dirname(file_path)
     if asset_path:
         asset_path += "/"

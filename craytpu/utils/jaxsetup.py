@@ -16,6 +16,15 @@ def setup_jax(cache_dir: str | None = None) -> None:
     if _CONFIGURED:
         return
     import jax
+    # The axon TPU plugin ignores the JAX_PLATFORMS *env var*, so honor an
+    # explicit platform request here via jax.config (CRAYTPU_PLATFORM=cpu is
+    # how tests/tools pin themselves off the single shared TPU chip).
+    plat = os.environ.get("CRAYTPU_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     cache = cache_dir or os.environ.get(
         "CRAYTPU_CACHE", os.path.expanduser("~/.cache/craytpu-jax"))
     os.makedirs(cache, exist_ok=True)
