@@ -101,7 +101,8 @@ def _partition(prim, bins, split):
 
 def build_bvh(bboxes_min: np.ndarray, bboxes_max: np.ndarray,
               centers: np.ndarray) -> BVH:
-    """buildBvhGeneric (bvh.c:245-287)."""
+    """buildBvhGeneric (bvh.c:245-287). Dispatches to the native C++
+    builder when available; both paths produce the identical tree."""
     n = int(centers.shape[0])
     if n < 1:
         return BVH(np.zeros((0, 6), F), np.zeros(0, np.int32),
@@ -110,6 +111,29 @@ def build_bvh(bboxes_min: np.ndarray, bboxes_max: np.ndarray,
     bboxes_min = bboxes_min.astype(F)
     bboxes_max = bboxes_max.astype(F)
     centers = centers.astype(F)
+
+    from craytpu import native
+    fn = native.bvh_builder()
+    if fn is not None:
+        import ctypes
+        bounds = np.zeros((2 * n - 1, 6), F)
+        child = np.zeros(2 * n - 1, np.int32)
+        count = np.zeros(2 * n - 1, np.int32)
+        prim = np.zeros(n, np.int32)
+        lo = np.ascontiguousarray(bboxes_min)
+        hi = np.ascontiguousarray(bboxes_max)
+        ce = np.ascontiguousarray(centers)
+
+        def p_f32(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+        def p_i32(a):
+            return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+        nc = fn(p_f32(lo), p_f32(hi), p_f32(ce), np.int32(n),
+                p_f32(bounds), p_i32(child), p_i32(count), p_i32(prim))
+        return BVH(bounds[:nc].copy(), child[:nc].copy(),
+                   count[:nc].copy(), prim)
 
     max_nodes = 2 * n - 1
     bounds = np.zeros((max_nodes, 6), F)

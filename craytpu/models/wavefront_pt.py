@@ -72,9 +72,24 @@ class WavefrontRenderer:
         self.bg_fn = cscene.background_fn()
         self.bsdf_fns = cscene.bsdf_fns(kind)
         self.empty_scene = cscene.n_instances == 0
-        self.traverse = trv.make_traverse_fn(
-            cscene.tlas_end, cscene.stack_depth, cscene.max_leaf_tris,
-            cscene.max_leaf_inst)
+        # Traversal backend: the dense MXU search on TPU (per-lane gathers
+        # run ~100x below stream bandwidth there), the SIMT stack walk on
+        # CPU (where gathers are cheap and golden parity tests live).
+        import jax as _jax
+        mode = os.environ.get("CRAYTPU_TRAVERSAL", "auto")
+        if mode == "auto":
+            mode = "simt" if _jax.default_backend() == "cpu" else "flash"
+        if mode == "flash" and cscene.dense_meta is not None:
+            from craytpu.ops.dense_isect import make_flash_traverse_fn
+            self.traverse = make_flash_traverse_fn(cscene.dense_meta)
+        elif mode == "dense" and cscene.dense_meta is not None:
+            from craytpu.ops.dense_isect import make_dense_traverse_fn
+            self.traverse = make_dense_traverse_fn(cscene.dense_meta)
+        else:
+            self.traverse = trv.make_traverse_fn(
+                cscene.tlas_end, cscene.stack_depth, cscene.max_leaf_tris,
+                cscene.max_leaf_inst)
+        self.traversal_mode = mode
 
         self._init_rays = jax.jit(self._make_init_rays())
         # two variants: pre-RR (depth < 4) and RR (depth >= 4)
@@ -241,8 +256,45 @@ class WavefrontRenderer:
             return final
         return trace
 
+    def _make_compact(self):
+        """Sort the wavefront by a spatial key (dead lanes last) and gather
+        into Bn slots. Spatially sorted blocks make the flash kernel's
+        per-block bbox culling effective on incoherent secondary rays."""
+        bb = np.asarray(self.cscene.geom.node_bounds[0])
+        lo = jnp.asarray(bb[[0, 2, 4]])
+        ext = np.maximum(bb[[1, 3, 5]] - bb[[0, 2, 4]], 1e-6)
+        inv_ext = jnp.asarray((127.0 / ext).astype(np.float32))
+
+        def spread3(x):
+            # space 7 bits out to every 3rd position (morton component)
+            x = (x | (x << 8)) & 0x0100F00F
+            x = (x | (x << 4)) & 0x10C30C3
+            x = (x | (x << 2)) & 0x9249249
+            return x
+
+        def compact(o, d, weight, s, alive, lane, Bn):
+            q = jnp.clip(((o - lo) * inv_ext), 0.0, 127.0).astype(jnp.uint32)
+            octant = ((d[:, 0] < 0) + 2 * (d[:, 1] < 0)
+                      + 4 * (d[:, 2] < 0)).astype(jnp.uint32)
+            key = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                   | (spread3(q[:, 2]) << 2)) | (octant << 21)
+            key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+            order = jnp.argsort(key)[:Bn]
+            return (o[order], d[order], weight[order],
+                    jax.tree.map(lambda x: x[order], s), lane[order])
+
+        return {}, compact
+
     def trace_batch(self, xs, ys, pass_idx: int, spp: int):
-        """Trace one pass for a flat batch of pixel coords -> (B, 4)."""
+        """Trace one pass for a flat batch of pixel coords -> (B, 4).
+
+        Stream compaction + spatial sort: the live wavefront shrinks
+        geometrically with depth (background misses + Russian roulette),
+        so after each bounce the survivors are sorted by a Morton/octant
+        key (making ray blocks coherent for the kernel's bbox culling) and
+        packed into a quarter-step power-of-two bucket; radiance deltas
+        scatter-add back into the full-size buffer by original lane id.
+        """
         B = xs.shape[0]
         o, d, s = self._init_rays(xs, ys, i32(pass_idx), i32(spp))
         if self.empty_scene or self.max_depth == 0:
@@ -250,20 +302,38 @@ class WavefrontRenderer:
                 return jnp.zeros((B, 4), f32)
             return self._bg_only(self.cscene.params, d)
 
+        if getattr(self, "_compact", None) is None:
+            _, self._compact = self._make_compact()
+            self._compact = jax.jit(self._compact, static_argnums=(6,))
+
         weight = jnp.ones((B, 4), f32)
         final = jnp.zeros((B, 4), f32)
         alive = jnp.ones(B, bool)
+        lane = jnp.arange(B, dtype=i32)
         cs = self.cscene
         for depth in range(self.max_depth):
             step = self._step_rr if depth >= 4 else self._step_pre
-            o, d, weight, final, s, alive = step(
+            # the step returns a radiance DELTA when handed zeros
+            o, d, weight, delta, s, alive = step(
                 cs.params, cs.geom, cs.shade, cs.mat_graph,
-                o, d, weight, final, s, alive)
-            # Synchronize every bounce: gives the early exit AND keeps the
-            # dispatch queue shallow (long async queues destabilize the
-            # single-chip tunnel runtime).
-            if not bool(jnp.any(alive)):
+                o, d, weight, jnp.zeros_like(weight), s, alive)
+            final = final.at[lane].add(delta)
+            # Synchronize every bounce: early exit + keeps the dispatch
+            # queue shallow (long async queues destabilize the tunnel).
+            n_alive = int(jnp.sum(alive))
+            if n_alive == 0:
                 break
+            Bc = alive.shape[0]
+            # quarter-step buckets only (Bc/4, Bc/16, ...): every bucket
+            # size is a fresh XLA compile of the whole bounce step, so
+            # keep the set small
+            need = max(_next_pow2(n_alive), 1024)
+            Bn = Bc
+            while Bn // 4 >= need:
+                Bn //= 4
+            o, d, weight, s, lane = self._compact(o, d, weight, s, alive,
+                                                  lane, Bn)
+            alive = jnp.arange(Bn, dtype=i32) < n_alive
         return final
 
     @property

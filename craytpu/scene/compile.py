@@ -40,6 +40,7 @@ class CompiledScene:
     n_instances: int
     max_leaf_tris: int = 16
     max_leaf_inst: int = 16
+    dense_meta: dict = None  # per-mesh MXU coefficient blocks (dense_isect)
 
     def bsdf_fns(self, kind: str):
         return [shading.compile_bsdf(g, self.reg, kind) for g in self.graphs]
@@ -236,10 +237,63 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
         if mesh.bvh.node_count:
             max_leaf_tris = max(max_leaf_tris, int(mesh.bvh.count.max()))
 
+    # dense (MXU) traversal data: per-mesh coefficient blocks over the SAME
+    # packed triangle rows the SIMT path uses — one layout for the XLA
+    # dense search, one (transposed + per-block bboxes + static instance
+    # plan) for the Pallas flash-intersect kernel
+    from craytpu.ops.dense_isect import build_tri_coeffs, build_tri_coeffs_T
+    mesh_W = []
+    WT_blocks, bb_blocks = [], []
+    mesh_block_start, mesh_block_count = [], []
+    mesh_root_bb = []
+    nb_off = 0
+    for mi, mesh in enumerate(scene.meshes):
+        n = mesh.tri_vidx.shape[0] if mesh.tri_vidx is not None else 0
+        if n == 0:
+            mesh_W.append(None)
+            mesh_block_start.append(0)
+            mesh_block_count.append(0)
+            mesh_root_bb.append(np.zeros(6, F))
+            continue
+        packed = tri_packed[tri_base[mi]:tri_base[mi] + n]
+        mesh_W.append(jnp.asarray(build_tri_coeffs(packed)))
+        WT, bb = build_tri_coeffs_T(packed)
+        WT_blocks.append(WT)
+        bb_blocks.append(bb)
+        mesh_block_start.append(nb_off)
+        mesh_block_count.append(WT.shape[0])
+        nb_off += WT.shape[0]
+        mesh_root_bb.append(np.array(
+            [bb[:, 0].min(), bb[:, 1].max(), bb[:, 2].min(),
+             bb[:, 3].max(), bb[:, 4].min(), bb[:, 5].max()], F))
+    inst_order = [(i, inst.kind, inst.obj_index)
+                  for i, inst in enumerate(scene.instances)]
+    inst_rows = np.zeros((Imax, 24), F)
+    plan = []
+    for i, inst in enumerate(scene.instances):
+        inst_rows[i, 0:12] = inst_Ainv[i].reshape(-1)
+        inst_rows[i, 12] = inst_offset[i]
+        if inst.kind == INST_MESH and mesh_W[inst.obj_index] is not None:
+            inst_rows[i, 13:19] = mesh_root_bb[inst.obj_index]
+            plan.append((i, mesh_block_start[inst.obj_index],
+                         mesh_block_count[inst.obj_index],
+                         int(tri_base[inst.obj_index])))
+    dense_meta = {
+        "mesh_W": mesh_W,
+        "mesh_base": list(tri_base),
+        "inst_order": inst_order,
+        "W_T": jnp.asarray(np.concatenate(WT_blocks) if WT_blocks
+                           else np.zeros((1, 4 * 512, 16), F)),
+        "bb": jnp.asarray(np.concatenate(bb_blocks) if bb_blocks
+                          else np.zeros((1, 8), F)),
+        "inst_rows": jnp.asarray(inst_rows),
+        "plan": tuple(plan),
+    }
+
     return CompiledScene(
         geom=geom, shade=shade, params=params,
         mat_graph=jnp.asarray(mat_graph), graphs=graphs, bg_ir=bg_ir,
         reg=reg, camera=scene.camera, prefs=scene.prefs,
         tlas_end=int(tlas.node_count), stack_depth=int(stack_depth),
         n_instances=n_inst, max_leaf_tris=max_leaf_tris,
-        max_leaf_inst=max_leaf_inst)
+        max_leaf_inst=max_leaf_inst, dense_meta=dense_meta)
