@@ -99,6 +99,34 @@ class WavefrontRenderer:
                                 donate_argnums=(4, 5, 6, 7, 8, 9))
         self._bg_only = jax.jit(
             lambda params, d: self.bg_fn(params, d))
+        self._multi_cache = {}
+
+    def _multi_step(self, k: int):
+        """k fused bounces in ONE device dispatch (lax.scan over the
+        dynamic-RR step). The deep-RR tail otherwise pays a full host
+        round trip (~70 ms over the tunnel) per bounce for a handful of
+        live rays."""
+        if k not in self._multi_cache:
+            step_dyn = self._make_step("dynamic")
+
+            def multi(params, geom, shade, mat_graph, o, d, weight, s,
+                      alive, depth0):
+                final = jnp.zeros_like(weight)
+
+                def body(carry, kk):
+                    o, d, w, fin, s, alive = carry
+                    out = step_dyn(params, geom, shade, mat_graph, o, d, w,
+                                   fin, s, alive, (depth0 + kk) >= 4)
+                    return out, None
+
+                (o, d, weight, final, s, alive), _ = jax.lax.scan(
+                    body, (o, d, weight, final, s, alive),
+                    jnp.arange(k, dtype=i32))
+                return o, d, weight, final, s, alive
+
+            self._multi_cache[k] = jax.jit(
+                multi, donate_argnums=(4, 5, 6, 7, 8))
+        return self._multi_cache[k]
 
     # ------------------------------------------------------------------
     def _make_init_rays(self):
@@ -311,19 +339,24 @@ class WavefrontRenderer:
         alive = jnp.ones(B, bool)
         lane = jnp.arange(B, dtype=i32)
         cs = self.cscene
-        for depth in range(self.max_depth):
-            step = self._step_rr if depth >= 4 else self._step_pre
+        depth = 0
+        while depth < self.max_depth:
+            Bc = alive.shape[0]
+            # fuse more bounces per dispatch as the wavefront shrinks: the
+            # dispatch+sync floor dwarfs the compute at small sizes
+            k = 1 if Bc > 32768 else (4 if Bc > 4096 else 8)
+            k = min(k, self.max_depth - depth)
             # the step returns a radiance DELTA when handed zeros
-            o, d, weight, delta, s, alive = step(
+            o, d, weight, delta, s, alive = self._multi_step(k)(
                 cs.params, cs.geom, cs.shade, cs.mat_graph,
-                o, d, weight, jnp.zeros_like(weight), s, alive)
+                o, d, weight, s, alive, i32(depth))
+            depth += k
             final = final.at[lane].add(delta)
-            # Synchronize every bounce: early exit + keeps the dispatch
-            # queue shallow (long async queues destabilize the tunnel).
+            # Synchronize here: early exit + keeps the dispatch queue
+            # shallow (long async queues destabilize the tunnel).
             n_alive = int(jnp.sum(alive))
             if n_alive == 0:
                 break
-            Bc = alive.shape[0]
             # quarter-step buckets only (Bc/4, Bc/16, ...): every bucket
             # size is a fresh XLA compile of the whole bounce step, so
             # keep the set small

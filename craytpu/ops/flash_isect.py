@@ -39,9 +39,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 f32 = jnp.float32
 i32 = jnp.int32
 FLT_MAX = 3.4028235e38  # python float: jnp scalars would be captured consts
+
+# Search-matmul precision: the winner ids are re-validated by an exact f32
+# recompute outside the kernel, so lower precision here only risks picking
+# a different triangle in near-tie/grazing cases. highest = 6-pass bf16
+# (f32-equivalent), high = hand-rolled bf16x3 (Mosaic has no HIGH),
+# default = 1-pass bf16.
+MM_MODE = os.environ.get("CRAYTPU_MXU_PRECISION", "high")
+
+
+def _search_dot(Wb, phiT):
+    if MM_MODE == "highest":
+        return jnp.dot(Wb, phiT, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if MM_MODE == "default":
+        return jnp.dot(Wb.astype(jnp.bfloat16), phiT.astype(jnp.bfloat16),
+                       preferred_element_type=f32)
+    # bf16x3: q = W_hi@p_hi + W_lo@p_hi + W_hi@p_lo
+    W_hi = Wb.astype(jnp.bfloat16)
+    W_lo = (Wb - W_hi.astype(f32)).astype(jnp.bfloat16)
+    p_hi = phiT.astype(jnp.bfloat16)
+    p_lo = (phiT - p_hi.astype(f32)).astype(jnp.bfloat16)
+    q = jnp.dot(W_hi, p_hi, preferred_element_type=f32)
+    q = q + jnp.dot(W_lo, p_hi, preferred_element_type=f32)
+    q = q + jnp.dot(W_hi, p_lo, preferred_element_type=f32)
+    return q
 
 RAY_BLOCK = 256
 TRI_BLOCK = 512
@@ -92,7 +119,12 @@ def _kernel(rays_ref, W_ref, bb_ref, inst_ref, t_ref, prim_ref, iid_ref,
         ok_near = jnp.full((1, RAY_BLOCK), -FLT_MAX, f32)
         ok_far = jnp.full((1, RAY_BLOCK), FLT_MAX, f32)
         for ax in range(3):
-            inv = f32(1.0) / di[ax]
+            # zero direction components (exact for axis-aligned secondary
+            # rays) would make 0 * inf = NaN and NaN-propagating min/max
+            # would cull live blocks — rays escaping through walls
+            da = di[ax]
+            da = jnp.where(da == f32(0.0), f32(1e-30), da)
+            inv = f32(1.0) / da
             t0 = (bb[2 * ax] - oi[ax]) * inv
             t1 = (bb[2 * ax + 1] - oi[ax]) * inv
             ok_near = jnp.maximum(ok_near, jnp.minimum(t0, t1))
@@ -135,12 +167,7 @@ def _kernel(rays_ref, W_ref, bb_ref, inst_ref, t_ref, prim_ref, iid_ref,
             def do(carry):
                 bt, bp, bi = carry
                 Wb = W_ref[blk]                       # (4*TB, PHI_DIM)
-                # HIGHEST: full-f32 products (default truncates to bf16,
-                # which flips ~1% of winners near edges; HIGH(3-pass)
-                # still flips grazing hits). Only the winner id matters —
-                # exact t/u/v are recomputed outside.
-                q = jnp.dot(Wb, phiT, preferred_element_type=f32,
-                            precision=jax.lax.Precision.HIGHEST)
+                q = _search_dot(Wb, phiT)
                 det = q[0 * TRI_BLOCK:1 * TRI_BLOCK]
                 ud = q[1 * TRI_BLOCK:2 * TRI_BLOCK]
                 vd = q[2 * TRI_BLOCK:3 * TRI_BLOCK]
