@@ -234,6 +234,13 @@ class _Loader:
         tex = load_texture(key)
         if tex is None and self.scene.prefs.asset_path:
             tex = load_texture(self.scene.prefs.asset_path + key)
+        if tex is None and self.scene.prefs.asset_path:
+            # the reference resolves JSON texture paths from its CWD (the
+            # c-ray repo root, e.g. "input/shapes/grid.png"); our analogue
+            # of that root is the asset dir's parent
+            parent = os.path.dirname(
+                self.scene.prefs.asset_path.rstrip("/"))
+            tex = load_texture(os.path.join(parent, key))
         if tex is None:
             self.scene.texture_paths[key] = None
             return None
@@ -283,6 +290,9 @@ class _Loader:
             tid = self.texture_id(path)
             if tid is not None:
                 return ng.image(tid, options)
+            # image node with a NULL texture evals to warningMaterial's
+            # pink diffuse (textures/image.c:32, material.c:40-45)
+            return ng.const_color((1.0, 0.0, 0.5, 1.0))
         logging.warning("Failed to parse textureNode, using obnoxious pink: "
                         "%r", node)
         return ng.unknown_texture()
