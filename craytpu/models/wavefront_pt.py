@@ -195,7 +195,8 @@ class WavefrontRenderer:
             mat_ior = params.ior[mat_id]
             rec = shading.HitRec(incident=d, normal=n_w, uv=uv,
                                  hit_point=p_w, distance=hit.t,
-                                 emission=mat_emission, ior=mat_ior)
+                                 emission=mat_emission, ior=mat_ior,
+                                 mat_id=mat_id)
             # hit: final += weight * legacy emission (pathtrace.c:44)
             final = jnp.where(is_hit[..., None],
                               final + weight * mat_emission, final)

@@ -55,6 +55,7 @@ class HitRec(NamedTuple):
     distance: jnp.ndarray   # (...)
     emission: jnp.ndarray   # (..., 4) legacy material emission for this hit
     ior: jnp.ndarray        # (...) legacy material IOR
+    mat_id: jnp.ndarray     # (...) i32 global material id (for param nodes)
 
 
 def dummy_rec(incident):
@@ -62,7 +63,7 @@ def dummy_rec(incident):
     z3 = jnp.zeros(shape + (3,), f32)
     return HitRec(incident, z3, jnp.zeros(shape + (2,), f32), z3,
                   jnp.zeros(shape, f32), jnp.zeros(shape + (4,), f32),
-                  jnp.ones(shape, f32))
+                  jnp.ones(shape, f32), jnp.zeros(shape, jnp.int32))
 
 
 def select_sample(pred, a, b):
@@ -143,6 +144,12 @@ def _ones(rec):
 
 def compile_color(ir, reg: Registry):
     kind = ir[0]
+    if kind == "param_color":
+        # per-material indirection: structurally identical graphs compile
+        # once and read their constants through mat_id (the TPU-native
+        # hash-consing — 14 graphs collapse to 3 structures on scene.json)
+        tbl = jnp.asarray(ir[1])
+        return lambda p, rec: p.colors[tbl[rec.mat_id]]
     if kind == "const_color":
         idx = reg.color_idx(ir[1])
         return lambda p, rec: (p.colors[idx] * _ones(rec)[..., None])
@@ -219,6 +226,9 @@ def compile_color(ir, reg: Registry):
 
 def compile_value(ir, reg: Registry):
     kind = ir[0]
+    if kind == "param_value":
+        tbl = jnp.asarray(ir[1])
+        return lambda p, rec: p.values[tbl[rec.mat_id]]
     if kind == "const_value":
         idx = reg.value_idx(ir[1])
         return lambda p, rec: p.values[idx] * _ones(rec)
@@ -280,6 +290,10 @@ _MATH_IMPL = {
 def compile_vector(ir, reg: Registry):
     """Vector nodes return (vec (..., 3), f scalar) like struct vectorValue."""
     kind = ir[0]
+    if kind == "param_vec":
+        tbl = jnp.asarray(ir[1])
+        return lambda p, rec: (p.vecs[tbl[rec.mat_id]],
+                               jnp.zeros(_bcast_shape(rec), f32))
     if kind == "const_vec":
         idx = reg.vec_idx(ir[1])
         return lambda p, rec: (p.vecs[idx] * _ones(rec)[..., None],

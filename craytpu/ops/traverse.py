@@ -225,23 +225,26 @@ def hit_info(geom: Geometry, shade, origin_w, direction_w, hit: Hit):
     sph_v = vm.wrap_min_max(sph_v, f32(0.0), f32(1.0))
     sph_mat = shade.sph_mat[jnp.maximum(geom.inst_obj[safe_inst], 0)]
 
-    # --- mesh path ---
+    # --- mesh path (one packed attribute gather per hit) ---
     pr = jnp.maximum(hit.prim, 0)
     u, v = hit.u, hit.v
     w = f32(1.0) - u - v
-    nidx = shade.tri_nidx[pr]
+    attr = shade.tri_attr[pr]                       # (B, 8)
+    nidx = attr[..., 0:3]
     n_smooth = (shade.normals[nidx[..., 1]] * u[..., None]
                 + shade.normals[nidx[..., 2]] * v[..., None]
                 + shade.normals[nidx[..., 0]] * w[..., None])
     n_flat = geom.tri_packed[pr][..., 9:12]
-    n_obj_mesh = jnp.where(shade.tri_has_n[pr][..., None], n_smooth, n_flat)
-    uvidx = shade.tri_uvidx[pr]
+    has_n = (attr[..., 7] & 1) == 1
+    n_obj_mesh = jnp.where(has_n[..., None], n_smooth, n_flat)
+    uvidx = attr[..., 3:6]
     uv_mesh = (shade.uvs[uvidx[..., 1]] * u[..., None]
                + shade.uvs[uvidx[..., 2]] * v[..., None]
                + shade.uvs[uvidx[..., 0]] * w[..., None])
-    uv_mesh = jnp.where(shade.tri_uv_ok[pr][..., None], uv_mesh,
+    uv_ok = (attr[..., 7] & 2) == 2
+    uv_mesh = jnp.where(uv_ok[..., None], uv_mesh,
                         jnp.array([-1.0, -1.0], f32))
-    mesh_mat = shade.tri_mat[pr]
+    mesh_mat = attr[..., 6]
 
     n_obj = jnp.where(is_sphere[..., None], n_obj_sphere, n_obj_mesh)
     # world normal: transformVectorWithTranspose(Ainv) == Ainv^T (3x3 part)

@@ -56,6 +56,62 @@ def _mat34(A: np.ndarray) -> np.ndarray:
     return A[:3, :4].astype(F)
 
 
+_CONST_KINDS = ("const_color", "const_value", "const_vec")
+
+
+def _skeleton(ir):
+    """IR with constant-node VALUES stripped (structure key)."""
+    if isinstance(ir, tuple):
+        if len(ir) and ir[0] in _CONST_KINDS:
+            return (ir[0],)
+        return tuple(_skeleton(x) for x in ir)
+    return ir
+
+
+def _build_structures(irs: list, K: int, reg) -> tuple:
+    """Group materials by graph structure; emit param-indirected IRs.
+
+    Returns (structures, mat_graph (K,) i32). Singleton groups keep their
+    concrete IR (no indirection cost)."""
+    from craytpu.scene.nodegraph import warning_bsdf
+    irs = [ir if ir is not None else warning_bsdf() for ir in irs]
+    groups: dict = {}
+    for k, ir in enumerate(irs):
+        groups.setdefault(_skeleton(ir), []).append(k)
+
+    Kp = max(K, 1)
+    param_kind = {"const_color": ("param_color", reg.color_idx),
+                  "const_value": ("param_value", reg.value_idx),
+                  "const_vec": ("param_vec", reg.vec_idx)}
+
+    def xform(subs: list, members: list):
+        head = subs[0]
+        if isinstance(head, tuple):
+            if len(head) and head[0] in _CONST_KINDS:
+                pk, register = param_kind[head[0]]
+                tbl = np.zeros(Kp, np.int32)
+                for m_k, s in zip(members, subs):
+                    tbl[m_k] = register(s[1])
+                return (pk, tbl)
+            return tuple(
+                xform([s[i] for s in subs], members)
+                if isinstance(head[i], tuple) else head[i]
+                for i in range(len(head)))
+        return head
+
+    structures = []
+    mat_graph = np.zeros(Kp, np.int32)
+    for sk, members in groups.items():
+        gi = len(structures)
+        if len(members) == 1:
+            structures.append(irs[members[0]])
+        else:
+            structures.append(xform([irs[k] for k in members], members))
+        for m_k in members:
+            mat_graph[m_k] = gi
+    return structures, mat_graph
+
+
 def compile_scene(scene: SceneHost) -> CompiledScene:
     # ---- global material table: mesh materials (mesh order) then spheres
     materials = []
@@ -68,20 +124,9 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
         sphere_mat_ids.append(len(materials))
         materials.append(sph.material)
 
-    graphs: list = []
-    graph_ids = {}
-    mat_graph = np.zeros(max(len(materials), 1), I)
     emission = np.zeros((max(len(materials), 1), 4), F)
     ior = np.ones(max(len(materials), 1), F)
     for k, m in enumerate(materials):
-        ir = m.bsdf_ir
-        if ir is None:
-            from craytpu.scene.nodegraph import warning_bsdf
-            ir = warning_bsdf()
-        if ir not in graph_ids:
-            graph_ids[ir] = len(graphs)
-            graphs.append(ir)
-        mat_graph[k] = graph_ids[ir]
         emission[k] = m.emission
         ior[k] = m.ior
 
@@ -200,20 +245,28 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
         scene.normals.shape[0] else np.zeros((1, 3), F)
     uvs = scene.uvs if scene.uvs is not None and scene.uvs.shape[0] else \
         np.zeros((1, 2), F)
+    tri_attr = np.zeros((P, 8), I)
+    tri_attr[:, 0:3] = np.minimum(tri_nidx, normals.shape[0] - 1)
+    tri_attr[:, 3:6] = np.minimum(tri_uvidx, uvs.shape[0] - 1)
+    tri_attr[:, 6] = tri_mat
+    tri_attr[:, 7] = tri_has_n.astype(I) | (tri_uv_ok.astype(I) << 1)
     shade = ShadeGeom(
-        tri_nidx=jnp.asarray(np.minimum(tri_nidx, normals.shape[0] - 1)),
-        tri_uvidx=jnp.asarray(np.minimum(tri_uvidx, uvs.shape[0] - 1)),
-        tri_has_n=jnp.asarray(tri_has_n),
-        tri_uv_ok=jnp.asarray(tri_uv_ok),
-        tri_mat=jnp.asarray(tri_mat),
+        tri_attr=jnp.asarray(tri_attr),
         normals=jnp.asarray(normals.astype(F)),
         uvs=jnp.asarray(uvs.astype(F)),
         sph_mat=jnp.asarray(sph_mat),
     )
 
     reg = shading.Registry(scene.textures)
-    # pre-register all constants by compiling every graph once (indices are
-    # deterministic; the real compile happens per sampler kind later)
+    # Structure-keyed graph dedup: materials whose bsdf graphs differ only
+    # in constant values share ONE compiled structure that reads its
+    # constants through mat_id-indexed tables (param_* nodes). This is the
+    # batched analogue of the reference's hash-consing, and it collapses
+    # e.g. scene.json's 14 per-material graphs to 3 compiled programs.
+    graphs, mat_graph = _build_structures(
+        [m.bsdf_ir for m in materials], len(materials), reg)
+    # pre-register all remaining constants by compiling every graph once
+    # (indices are deterministic; the real compile happens per sampler kind)
     from craytpu.scene.nodegraph import background as bg_default
     bg_ir = scene.background_ir or bg_default()
     for g in graphs:

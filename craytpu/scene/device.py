@@ -43,12 +43,13 @@ class Geometry(NamedTuple):
 
 
 class ShadeGeom(NamedTuple):
-    """Deferred per-hit shading data (only touched for the winning hit)."""
-    tri_nidx: jnp.ndarray      # (P, 3) i32 into normals
-    tri_uvidx: jnp.ndarray     # (P, 3) i32 into uvs
-    tri_has_n: jnp.ndarray     # (P,) bool (poly.hasNormals)
-    tri_uv_ok: jnp.ndarray     # (P,) bool (mesh has texcoords & face has uvs)
-    tri_mat: jnp.ndarray       # (P,) i32 global material id
+    """Deferred per-hit shading data (only touched for the winning hit).
+
+    Per-triangle attributes ride in ONE packed (P, 8) i32 row — hit_info is
+    gather-bound on TPU, so one wide gather beats seven narrow ones:
+      [n0, n1, n2, uv0, uv1, uv2, mat, flags]  flags bit0=has_n, bit1=uv_ok
+    """
+    tri_attr: jnp.ndarray      # (P, 8) i32 packed per-tri shading row
     normals: jnp.ndarray       # (N, 3) f32
     uvs: jnp.ndarray           # (T, 2) f32
     sph_mat: jnp.ndarray       # (S,) i32 global material id

@@ -119,6 +119,7 @@ def test_fresnel_schlick():
         hit_point=jnp.zeros((1, 3), jnp.float32),
         distance=jnp.ones(1, jnp.float32),
         emission=jnp.zeros((1, 4), jnp.float32),
-        ior=jnp.ones(1, jnp.float32))
+        ior=jnp.ones(1, jnp.float32),
+        mat_id=jnp.zeros(1, jnp.int32))
     val = _eval_value(ng.fresnel(ng.const_value(1.5), None), rec)
     assert val == pytest.approx(0.04, rel=1e-3)
