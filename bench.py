@@ -47,17 +47,11 @@ def main():
           f"bounces={r.max_depth} on {jax.devices()[0].platform}",
           file=sys.stderr)
 
-    accum = jnp.zeros((r.height, r.width, 4), jnp.float32)
-    spp = WARMUP + PASSES
-    # warmup passes (compile + cache)
-    for p in range(WARMUP):
-        accum = r.render_pass(accum, p, spp)
-    jax.block_until_ready(accum)
-
+    # warmup (compile + cache) on one sample, then the timed persistent
+    # wavefront render (full occupancy across tiles and passes)
+    r.render_persistent(spp=WARMUP)
     t0 = time.perf_counter()
-    for p in range(WARMUP, spp):
-        accum = r.render_pass(accum, p, spp)
-    jax.block_until_ready(accum)
+    accum = r.render_persistent(spp=PASSES)
     dt = time.perf_counter() - t0
 
     paths = r.width * r.height * PASSES

@@ -110,22 +110,34 @@ class WavefrontRenderer:
             step_dyn = self._make_step("dynamic")
 
             def multi(params, geom, shade, mat_graph, o, d, weight, s,
-                      alive, depth0):
-                final = jnp.zeros_like(weight)
+                      alive, pdepth, final_full, lane):
+                # pdepth: PER-LANE path depth — the persistent pool mixes
+                # paths at different depths, and Russian roulette must
+                # activate at each path's own depth 4 (pathtrace.c:50)
+                delta = jnp.zeros_like(weight)
 
-                def body(carry, kk):
-                    o, d, w, fin, s, alive = carry
+                max_depth = self.max_depth
+
+                def body(carry, _):
+                    o, d, w, fin, s, alive, pd = carry
+                    # per-path bounce cap (prefs.bounces): the persistent
+                    # pool has no outer depth loop to enforce it
+                    alive = alive & (pd < max_depth)
                     out = step_dyn(params, geom, shade, mat_graph, o, d, w,
-                                   fin, s, alive, (depth0 + kk) >= 4)
-                    return out, None
+                                   fin, s, alive, pd >= 4)
+                    return out + (pd + 1,), None
 
-                (o, d, weight, final, s, alive), _ = jax.lax.scan(
-                    body, (o, d, weight, final, s, alive),
-                    jnp.arange(k, dtype=i32))
-                return o, d, weight, final, s, alive
+                (o, d, weight, delta, s, alive, pdepth), _ = jax.lax.scan(
+                    body, (o, d, weight, delta, s, alive, pdepth),
+                    None, length=k)
+                # radiance scatter-add + live count fused into the same
+                # dispatch (each extra dispatch is ~5-10 ms over the tunnel)
+                final_full = final_full.at[lane].add(delta)
+                return (o, d, weight, s, alive, pdepth, final_full,
+                        jnp.sum(alive, dtype=i32))
 
             self._multi_cache[k] = jax.jit(
-                multi, donate_argnums=(4, 5, 6, 7, 8))
+                multi, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
         return self._multi_cache[k]
 
     # ------------------------------------------------------------------
@@ -137,8 +149,8 @@ class WavefrontRenderer:
         def init_rays(xs, ys, pass_idx, spp):
             B = xs.shape[0]
             pix_idx = ys.astype(u32) * u32(width) + xs.astype(u32)
-            s = smp.init_sampler(kind, jnp.full(B, pass_idx, i32),
-                                 jnp.full(B, spp, i32), pix_idx)
+            s = smp.init_sampler(kind, jnp.broadcast_to(pass_idx, (B,)),
+                                 jnp.broadcast_to(spp, (B,)), pix_idx)
             o, d, s = jax.vmap(cam_fn)(xs, ys, s)
             return o, d, s
         return init_rays
@@ -301,7 +313,7 @@ class WavefrontRenderer:
             x = (x | (x << 2)) & 0x9249249
             return x
 
-        def compact(o, d, weight, s, alive, lane, Bn):
+        def compact(o, d, weight, s, alive, lane, pdepth, Bn):
             q = jnp.clip(((o - lo) * inv_ext), 0.0, 127.0).astype(jnp.uint32)
             octant = ((d[:, 0] < 0) + 2 * (d[:, 1] < 0)
                       + 4 * (d[:, 2] < 0)).astype(jnp.uint32)
@@ -310,7 +322,8 @@ class WavefrontRenderer:
             key = jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
             order = jnp.argsort(key)[:Bn]
             return (o[order], d[order], weight[order],
-                    jax.tree.map(lambda x: x[order], s), lane[order])
+                    jax.tree.map(lambda x: x[order], s), lane[order],
+                    pdepth[order])
 
         return {}, compact
 
@@ -333,12 +346,13 @@ class WavefrontRenderer:
 
         if getattr(self, "_compact", None) is None:
             _, self._compact = self._make_compact()
-            self._compact = jax.jit(self._compact, static_argnums=(6,))
+            self._compact = jax.jit(self._compact, static_argnums=(7,))
 
         weight = jnp.ones((B, 4), f32)
         final = jnp.zeros((B, 4), f32)
         alive = jnp.ones(B, bool)
         lane = jnp.arange(B, dtype=i32)
+        pdepth = jnp.zeros(B, i32)
         cs = self.cscene
         depth = 0
         while depth < self.max_depth:
@@ -347,15 +361,14 @@ class WavefrontRenderer:
             # dispatch+sync floor dwarfs the compute at small sizes
             k = 1 if Bc > 32768 else (4 if Bc > 4096 else 8)
             k = min(k, self.max_depth - depth)
-            # the step returns a radiance DELTA when handed zeros
-            o, d, weight, delta, s, alive = self._multi_step(k)(
-                cs.params, cs.geom, cs.shade, cs.mat_graph,
-                o, d, weight, s, alive, i32(depth))
+            o, d, weight, s, alive, pdepth, final, n_live = \
+                self._multi_step(k)(
+                    cs.params, cs.geom, cs.shade, cs.mat_graph,
+                    o, d, weight, s, alive, pdepth, final, lane)
             depth += k
-            final = final.at[lane].add(delta)
             # Synchronize here: early exit + keeps the dispatch queue
             # shallow (long async queues destabilize the tunnel).
-            n_alive = int(jnp.sum(alive))
+            n_alive = int(n_live)
             if n_alive == 0:
                 break
             # quarter-step buckets only (Bc/4, Bc/16, ...): every bucket
@@ -365,8 +378,8 @@ class WavefrontRenderer:
             Bn = Bc
             while Bn // 4 >= need:
                 Bn //= 4
-            o, d, weight, s, lane = self._compact(o, d, weight, s, alive,
-                                                  lane, Bn)
+            o, d, weight, s, lane, pdepth = self._compact(
+                o, d, weight, s, alive, lane, pdepth, Bn)
             alive = jnp.arange(Bn, dtype=i32) < n_alive
         return final
 
@@ -418,6 +431,114 @@ class WavefrontRenderer:
             if progress is not None:
                 progress(p + 1, spp, accum)
         return jax.device_get(accum)
+
+    # ------------------------------------------------------------------
+    # persistent wavefront: the pool stays full across tiles AND passes
+    # ------------------------------------------------------------------
+    def _make_refill(self):
+        """refill(pool..., fresh..., start): insert a fresh ray block at a
+        dynamic offset (the pool is alive-first sorted, so [n_alive:] are
+        dead slots). One fused dispatch per quantum."""
+
+        def refill(o, d, weight, s, lane, pdepth, fo, fd, fw, fs, flane,
+                   start):
+            def ins(a, f):
+                return jax.lax.dynamic_update_slice_in_dim(a, f, start,
+                                                           axis=0)
+            fresh_depth = jnp.zeros(flane.shape[0], i32)
+            return (ins(o, fo), ins(d, fd), ins(weight, fw),
+                    jax.tree.map(ins, s, fs), ins(lane, flane),
+                    ins(pdepth, fresh_depth))
+
+        return jax.jit(refill, donate_argnums=(0, 1, 2, 3, 4, 5))
+
+    def render_persistent(self, spp: int | None = None, progress=None):
+        """Full render as ONE persistent wavefront: a fixed pool of
+        tile_rays lanes; dead lanes are replaced by fresh (pixel, pass)
+        primaries from the queue, so every dispatch runs near-full
+        occupancy across tile and pass boundaries (no per-pass drain).
+        Radiance scatter-adds by pixel id; same per-(pixel, pass) streams
+        as render(), same result up to float accumulation order."""
+        spp = spp if spp is not None else self.cscene.prefs.sample_count
+        H, W = self.height, self.width
+        npix = H * W
+        if self.empty_scene or self.max_depth == 0:
+            acc = jnp.zeros((H, W, 4), f32)
+            for p in range(spp):
+                acc = self.render_pass(acc, p, spp)
+            return jax.device_get(acc)
+        xs_f, ys_f, _, T, _, _ = self._pixel_schedule
+        xs_f, ys_f = np.asarray(xs_f[:npix]), np.asarray(ys_f[:npix])
+        B = min(self.tile_rays, _next_pow2(npix))
+        Q = B // 4                      # refill quantum
+        if getattr(self, "_compact", None) is None:
+            _, self._compact = self._make_compact()
+            self._compact = jax.jit(self._compact, static_argnums=(7,))
+        if getattr(self, "_refill", None) is None:
+            self._refill = self._make_refill()
+        cs = self.cscene
+
+        qpos = 0                        # queue position in [0, npix*spp)
+        total = npix * spp
+
+        def take(n):
+            nonlocal qpos
+            idx = (np.arange(qpos, qpos + n) % total)
+            take_n = min(n, total - qpos)
+            px = idx % npix
+            xs = jnp.asarray(xs_f[px])
+            ys = jnp.asarray(ys_f[px])
+            passes = jnp.asarray((idx // npix).astype(np.int32))
+            o, d, s = self._init_rays(xs, ys, passes, i32(spp))
+            lane = jnp.asarray((ys_f[px].astype(np.int64) * W
+                                + xs_f[px]).astype(np.int32))
+            qpos += take_n
+            return o, d, s, lane, take_n
+
+        # prime the pool
+        o, d, s, lane, took = take(B)
+        weight = jnp.ones((B, 4), f32)
+        alive = jnp.arange(B, dtype=i32) < took
+        pdepth = jnp.zeros(B, i32)
+        final = jnp.zeros((npix, 4), f32)
+        n_alive = took
+        while True:
+            Bc = alive.shape[0]
+            k = 1 if Bc > 32768 else (4 if Bc > 4096 else 8)
+            o, d, weight, s, alive, pdepth, final, n_live = \
+                self._multi_step(k)(
+                    cs.params, cs.geom, cs.shade, cs.mat_graph,
+                    o, d, weight, s, alive, pdepth, final, lane)
+            n_alive = int(n_live)
+            if progress is not None:
+                progress(min(qpos, total) - n_alive, total)
+            if n_alive == 0 and qpos >= total:
+                break
+            if qpos < total and Bc == B and n_alive <= B - Q:
+                # sort alive-first (and spatially), then insert fresh
+                # quanta at the dead tail
+                o, d, weight, s, lane, pdepth = self._compact(
+                    o, d, weight, s, alive, lane, pdepth, B)
+                while n_alive <= B - Q and qpos < total:
+                    fo, fd, fs, flane, took = take(Q)
+                    fw = jnp.ones((Q, 4), f32)
+                    o, d, weight, s, lane, pdepth = self._refill(
+                        o, d, weight, s, lane, pdepth, fo, fd, fw, fs,
+                        flane, i32(n_alive))
+                    n_alive += took
+                alive = jnp.arange(B, dtype=i32) < n_alive
+            elif qpos >= total:
+                # drain: shrink buckets like trace_batch
+                need = max(_next_pow2(max(n_alive, 1)), 1024)
+                Bn = Bc
+                while Bn // 4 >= need:
+                    Bn //= 4
+                if Bn < Bc:
+                    o, d, weight, s, lane, pdepth = self._compact(
+                        o, d, weight, s, alive, lane, pdepth, Bn)
+                    alive = jnp.arange(Bn, dtype=i32) < n_alive
+        final = final / f32(spp)
+        return jax.device_get(final.reshape(H, W, 4))
 
 
 def render(cscene: CompiledScene, kind: str = smp.RANDOM,

@@ -39,7 +39,7 @@ class ShadeParams(NamedTuple):
     colors: jnp.ndarray    # (C, 4)
     values: jnp.ndarray    # (V,)
     vecs: jnp.ndarray      # (W, 3)
-    texels: jnp.ndarray    # (X,) flat texture buffer
+    texels: jnp.ndarray    # (R, 4) RGBA texel rows (all textures packed)
     emission: jnp.ndarray  # (K, 4) legacy material emission
     ior: jnp.ndarray       # (K,) legacy material IOR
 
@@ -84,13 +84,13 @@ class Registry:
         self._vecs = []
         self._vecmap = {}
         self.tex_meta = []
-        offset = 0
+        offset = 0  # in RGBA rows
         self._tex_bufs = []
         for t in textures:
             h, w, c = t.data.shape
             self.tex_meta.append((offset, w, h, c))
-            self._tex_bufs.append(t.data.reshape(-1))
-            offset += h * w * c
+            self._tex_bufs.append(tex.pack_rgba_rows(t.data))
+            offset += h * w
 
     def color_idx(self, rgba):
         key = tuple(float(x) for x in rgba)
@@ -116,7 +116,7 @@ class Registry:
     def finalize(self, emission, ior) -> ShadeParams:
         import numpy as np
         texels = (np.concatenate(self._tex_bufs) if self._tex_bufs
-                  else np.zeros(1, np.float32))
+                  else np.zeros((1, 4), np.float32))
         return ShadeParams(
             colors=jnp.asarray(np.asarray(self._colors, np.float32).reshape(
                 -1, 4) if self._colors else np.zeros((1, 4), np.float32)),

@@ -1,9 +1,14 @@
-"""Texture sampling device ops over a single flat texel buffer.
+"""Texture sampling device ops over one (R, 4) RGBA texel-row buffer.
 
-All scene textures are concatenated into one differentiable float32 buffer;
-each image node is compiled with static (offset, width, height, channels)
-metadata. Fetch semantics mirror datatypes/image/texture.c:33-85: y-flipped
-storage (row 0 = top, fetch y=0 = bottom), wrap-around indexing, and the
+All scene textures are concatenated into one differentiable float32 table
+of RGBA rows (channel layouts are normalized at registration: 1-channel ->
+(r,r,r,1), 3-channel -> (r,g,b,1)); each image node is compiled with
+static (row_offset, width, height, channels) metadata. One bilinear fetch
+is then 4 row gathers instead of 16 scalar gathers — gathers are the
+scarce resource on TPU.
+
+Fetch semantics mirror datatypes/image/texture.c:33-85: y-flipped storage
+(row 0 = top, fetch y=0 = bottom), wrap-around indexing, and the
 reference's bilinear filter with trunc-toward-zero int casts. LDR byte
 textures were pre-divided by 255 at load, identical to the fetch-time
 division in textureGetPixelInternal.
@@ -11,26 +16,35 @@ division in textureGetPixelInternal.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 f32 = jnp.float32
 i32 = jnp.int32
 
 
+def pack_rgba_rows(data: np.ndarray) -> np.ndarray:
+    """(H, W, C) float texture -> (H*W, 4) RGBA rows (texture.c channel
+    semantics baked in)."""
+    h, w, c = data.shape
+    rows = data.reshape(h * w, c).astype(np.float32)
+    out = np.ones((h * w, 4), np.float32)
+    if c == 1:
+        out[:, 0] = out[:, 1] = out[:, 2] = rows[:, 0]
+    elif c == 2:
+        out[:, 0] = out[:, 1] = out[:, 2] = rows[:, 0]
+        out[:, 3] = rows[:, 1]
+    else:
+        out[:, :min(c, 4)] = rows[:, :4]
+    return out
+
+
 def _fetch_internal(texels, meta, xi, yi):
-    """textureGetPixelInternal (texture.c:33-64). xi, yi int32 scalars."""
-    offset, w, h, ch = meta
+    """textureGetPixelInternal (texture.c:33-64). xi, yi int32 arrays."""
+    offset, w, h, _ = meta
     x = jnp.mod(xi, w)
     y = jnp.mod(yi, h)
-    base = offset + (x + (h - 1 - y) * w) * ch
-    if ch == 1:
-        r = texels[base]
-        return jnp.stack([r, r, r, jnp.ones_like(r)], axis=-1)
-    r = texels[base]
-    g = texels[base + 1]
-    b = texels[base + 2]
-    a = texels[base + 3] if ch > 3 else jnp.ones_like(r)
-    return jnp.stack([r, g, b, a], axis=-1)
+    return texels[offset + x + (h - 1 - y) * w]
 
 
 def fetch_nearest(texels, meta, x, y):
