@@ -252,13 +252,23 @@ class WavefrontRenderer:
         return step
 
     # ------------------------------------------------------------------
-    def make_trace_fn(self, depth: int | None = None):
+    def make_trace_fn(self, depth: int | None = None,
+                      diff_geometry: bool = False):
         """Pure, jittable, differentiable fixed-depth trace.
 
         Returns trace(params, xs, ys, pass_idx, spp) -> (B, 4) radiance with
-        the bounce loop unrolled to `depth` (no host early-exit — terminated
+        the bounce loop scanned to `depth` (no host early-exit — terminated
         lanes idle masked). This is the function the multi-chip shard_map and
         the gradient path jit; geometry/shading tables are closed over.
+
+        diff_geometry=True returns trace(params, tri_packed, xs, ys,
+        pass_idx, spp) with the packed triangle rows as a differentiable
+        input: the closest-hit SEARCH stays detached (its coefficient
+        blocks are static — the detached-visibility estimator), while the
+        winner's exact (t, u, v), normals and hit points recompute from
+        tri_packed, so vertex gradients flow through shading. Requires the
+        dense/flash traversal (the SIMT while_loop is not reverse-mode
+        differentiable).
         """
         depth = depth if depth is not None else self.max_depth
         kind = self.kind
@@ -270,7 +280,7 @@ class WavefrontRenderer:
         bg_fn = self.bg_fn
         empty = self.empty_scene
 
-        def trace(params, xs, ys, pass_idx, spp):
+        def _trace(params, g, xs, ys, pass_idx, spp):
             B = xs.shape[0]
             pix_idx = ys.astype(u32) * u32(width) + xs.astype(u32)
             s = smp.init_sampler(kind, jnp.broadcast_to(pass_idx, (B,)),
@@ -287,7 +297,7 @@ class WavefrontRenderer:
             def body(carry, k):
                 o, d, weight, final, s, alive = carry
                 o, d, weight, final, s, alive = step_dyn(
-                    params, geom, shade, mat_graph, o, d, weight, final, s,
+                    params, g, shade, mat_graph, o, d, weight, final, s,
                     alive, k >= 4)
                 return (o, d, weight, final, s, alive), None
 
@@ -295,6 +305,15 @@ class WavefrontRenderer:
                 body, (o, d, weight, final, s, alive),
                 jnp.arange(depth, dtype=i32))
             return final
+
+        if diff_geometry:
+            def trace_g(params, tri_packed, xs, ys, pass_idx, spp):
+                return _trace(params, geom._replace(tri_packed=tri_packed),
+                              xs, ys, pass_idx, spp)
+            return trace_g
+
+        def trace(params, xs, ys, pass_idx, spp):
+            return _trace(params, geom, xs, ys, pass_idx, spp)
         return trace
 
     def _make_compact(self):
