@@ -132,6 +132,13 @@ def parse_args(argv: list[str]) -> dict:
         elif a == "--resume":
             if nxt:
                 opts["resume"] = nxt
+        elif a == "--preview":
+            opts["preview"] = True
+            if nxt and not nxt.startswith("-"):
+                try:
+                    opts["preview"] = max(int(nxt), 1)
+                except ValueError:
+                    pass
         elif a.startswith("-"):
             # any unknown -flag becomes a boolean tag (args.c:207-209)
             opts[a.lstrip("-")] = True

@@ -147,6 +147,14 @@ def main(argv: list[str] | None = None) -> int:
         api.write_image()
         return 0
 
+    # progressive preview (the SDL window analogue on headless TPU hosts):
+    # --preview [N] writes <name>_preview.png every N passes
+    preview_every = opts.get("preview")
+    if preview_every is True:
+        preview_every = 1
+    preview_path = os.path.join(scene.prefs.img_file_path or ".",
+                                scene.prefs.img_file_name + "_preview.png")
+
     t0 = time.perf_counter()
     interrupted = False
     try:
@@ -154,6 +162,10 @@ def main(argv: list[str] | None = None) -> int:
             accum = r.render_pass(accum, p, spp)
             accum.block_until_ready()
             _status(p + 1, spp, t0, r.width, r.height)
+            if preview_every and (p + 1) % int(preview_every) == 0:
+                from craytpu.io.png import write_png
+                write_png(preview_path, np.asarray(accum),
+                          {"Samples per pixel": str(p + 1)})
     except KeyboardInterrupt:
         interrupted = True
         p_done = p  # passes fully completed before the interrupted one
