@@ -47,7 +47,7 @@ f32 = jnp.float32
 i32 = jnp.int32
 FLT_MAX = isx.FLT_MAX
 
-TRI_BLOCK = 512  # triangles per streamed block (lane-dim multiple of 128)
+TRI_BLOCK = 256  # triangles per streamed block (lane-dim multiple of 128)
 
 
 def build_tri_coeffs(tri_packed: np.ndarray) -> np.ndarray:

@@ -71,7 +71,7 @@ def _search_dot(Wb, phiT):
     return q
 
 RAY_BLOCK = 256
-TRI_BLOCK = 512
+TRI_BLOCK = 256
 PHI_DIM = 16  # 10 used: [d, o, d x o, 1]; padded for MXU alignment
 
 

@@ -336,7 +336,7 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
         "mesh_base": list(tri_base),
         "inst_order": inst_order,
         "W_T": jnp.asarray(np.concatenate(WT_blocks) if WT_blocks
-                           else np.zeros((1, 4 * 512, 16), F)),
+                           else np.zeros((1, 4 * 256, 16), F)),
         "bb": jnp.asarray(np.concatenate(bb_blocks) if bb_blocks
                           else np.zeros((1, 8), F)),
         "inst_rows": jnp.asarray(inst_rows),
