@@ -225,26 +225,25 @@ def hit_info(geom: Geometry, shade, origin_w, direction_w, hit: Hit):
     sph_v = vm.wrap_min_max(sph_v, f32(0.0), f32(1.0))
     sph_mat = shade.sph_mat[jnp.maximum(geom.inst_obj[safe_inst], 0)]
 
-    # --- mesh path (one packed attribute gather per hit) ---
+    # --- mesh path (two wide gathers per hit: denormalized vertex data) ---
     pr = jnp.maximum(hit.prim, 0)
     u, v = hit.u, hit.v
     w = f32(1.0) - u - v
-    attr = shade.tri_attr[pr]                       # (B, 8)
-    nidx = attr[..., 0:3]
-    n_smooth = (shade.normals[nidx[..., 1]] * u[..., None]
-                + shade.normals[nidx[..., 2]] * v[..., None]
-                + shade.normals[nidx[..., 0]] * w[..., None])
+    ts = shade.tri_shade[pr]                        # (B, 16)
+    mf = shade.tri_mf[pr]                           # (B, 2)
+    n_smooth = (ts[..., 3:6] * u[..., None]
+                + ts[..., 6:9] * v[..., None]
+                + ts[..., 0:3] * w[..., None])
     n_flat = geom.tri_packed[pr][..., 9:12]
-    has_n = (attr[..., 7] & 1) == 1
+    has_n = (mf[..., 1] & 1) == 1
     n_obj_mesh = jnp.where(has_n[..., None], n_smooth, n_flat)
-    uvidx = attr[..., 3:6]
-    uv_mesh = (shade.uvs[uvidx[..., 1]] * u[..., None]
-               + shade.uvs[uvidx[..., 2]] * v[..., None]
-               + shade.uvs[uvidx[..., 0]] * w[..., None])
-    uv_ok = (attr[..., 7] & 2) == 2
+    uv_mesh = (ts[..., 11:13] * u[..., None]
+               + ts[..., 13:15] * v[..., None]
+               + ts[..., 9:11] * w[..., None])
+    uv_ok = (mf[..., 1] & 2) == 2
     uv_mesh = jnp.where(uv_ok[..., None], uv_mesh,
                         jnp.array([-1.0, -1.0], f32))
-    mesh_mat = attr[..., 6]
+    mesh_mat = mf[..., 0]
 
     n_obj = jnp.where(is_sphere[..., None], n_obj_sphere, n_obj_mesh)
     # world normal: transformVectorWithTranspose(Ainv) == Ainv^T (3x3 part)

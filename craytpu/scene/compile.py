@@ -245,15 +245,21 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
         scene.normals.shape[0] else np.zeros((1, 3), F)
     uvs = scene.uvs if scene.uvs is not None and scene.uvs.shape[0] else \
         np.zeros((1, 2), F)
-    tri_attr = np.zeros((P, 8), I)
-    tri_attr[:, 0:3] = np.minimum(tri_nidx, normals.shape[0] - 1)
-    tri_attr[:, 3:6] = np.minimum(tri_uvidx, uvs.shape[0] - 1)
-    tri_attr[:, 6] = tri_mat
-    tri_attr[:, 7] = tri_has_n.astype(I) | (tri_uv_ok.astype(I) << 1)
+    nidx = np.minimum(tri_nidx, normals.shape[0] - 1)
+    uvidx = np.minimum(tri_uvidx, uvs.shape[0] - 1)
+    tri_shade = np.zeros((P, 16), F)
+    tri_shade[:, 0:3] = normals[nidx[:, 0]]
+    tri_shade[:, 3:6] = normals[nidx[:, 1]]
+    tri_shade[:, 6:9] = normals[nidx[:, 2]]
+    tri_shade[:, 9:11] = uvs[uvidx[:, 0]]
+    tri_shade[:, 11:13] = uvs[uvidx[:, 1]]
+    tri_shade[:, 13:15] = uvs[uvidx[:, 2]]
+    tri_mf = np.zeros((P, 2), I)
+    tri_mf[:, 0] = tri_mat
+    tri_mf[:, 1] = tri_has_n.astype(I) | (tri_uv_ok.astype(I) << 1)
     shade = ShadeGeom(
-        tri_attr=jnp.asarray(tri_attr),
-        normals=jnp.asarray(normals.astype(F)),
-        uvs=jnp.asarray(uvs.astype(F)),
+        tri_shade=jnp.asarray(tri_shade),
+        tri_mf=jnp.asarray(tri_mf),
         sph_mat=jnp.asarray(sph_mat),
     )
 

@@ -45,13 +45,14 @@ class Geometry(NamedTuple):
 class ShadeGeom(NamedTuple):
     """Deferred per-hit shading data (only touched for the winning hit).
 
-    Per-triangle attributes ride in ONE packed (P, 8) i32 row — hit_info is
-    gather-bound on TPU, so one wide gather beats seven narrow ones:
-      [n0, n1, n2, uv0, uv1, uv2, mat, flags]  flags bit0=has_n, bit1=uv_ok
+    hit_info is gather-bound on TPU, so the per-triangle vertex data is
+    DENORMALIZED into one wide f32 row per triangle (two gathers per hit
+    instead of eight index+vertex gathers):
+      tri_shade: [n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), pad]
+      tri_mf:    [material id, flags]  flags bit0=has_n, bit1=uv_ok
     """
-    tri_attr: jnp.ndarray      # (P, 8) i32 packed per-tri shading row
-    normals: jnp.ndarray       # (N, 3) f32
-    uvs: jnp.ndarray           # (T, 2) f32
+    tri_shade: jnp.ndarray     # (P, 16) f32 denormalized normals + uvs
+    tri_mf: jnp.ndarray        # (P, 2) i32 [mat, flags]
     sph_mat: jnp.ndarray       # (S,) i32 global material id
 
 
