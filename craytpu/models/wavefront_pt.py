@@ -523,7 +523,7 @@ class WavefrontRenderer:
         n_alive = took
         while True:
             Bc = alive.shape[0]
-            k = 1 if Bc > 32768 else (4 if Bc > 4096 else 8)
+            k = 2 if Bc > 32768 else (4 if Bc > 4096 else 8)
             o, d, weight, s, alive, pdepth, final, n_live = \
                 self._multi_step(k)(
                     cs.params, cs.geom, cs.shade, cs.mat_graph,
