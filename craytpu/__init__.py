@@ -9,7 +9,7 @@ plus end-to-end differentiability, which the reference does not have.
 
 Layout (maps to the reference's layer map, SURVEY.md §1):
   craytpu.api       — public API (the `crXxx` functions, c-ray.h)
-  craytpu.cli       — command-line entry (main.c)
+  craytpu.main      — command-line entry (main.c), craytpu.args flags
   craytpu.models    — integrators: wavefront path tracer (renderer/pathtrace.c)
   craytpu.ops       — device kernels: sampler, camera, intersect, traverse,
                       texture fetch, shading (renderer/samplers, accelerators,
@@ -17,8 +17,10 @@ Layout (maps to the reference's layer map, SURVEY.md §1):
   craytpu.scene     — host-side scene pipeline: JSON/OBJ/MTL/texture loaders,
                       transforms, material graph compiler (utils/loaders, nodes)
   craytpu.accel     — BVH build + flattening (accelerators/bvh.c build half)
-  craytpu.parallel  — device meshes, sharded render step, checkpointing,
-                      distributed init (utils/protocol + renderer thread pool)
+  craytpu.parallel  — device meshes + sharded train/render (shard.py),
+                      TCP master/worker cluster (cluster.py)
+  craytpu.runtime   — tile scheduler, checkpoint/resume
+  craytpu.native    — C++ fast paths (SAH BVH builder) via ctypes
   craytpu.io        — PNG/BMP encoders, HDR decode (utils/encoders, stb/lodepng)
   craytpu.utils     — logging, timers, prefs/args (utils/)
 """

@@ -170,17 +170,28 @@ class WavefrontRenderer:
         traverse = self.traverse
 
         def shade_all(params, rec, st, gid):
-            """Evaluate every compiled graph on the full wavefront and
+            """Evaluate every compiled graph on the wavefront and
             mask-select by graph id — the batched analogue of the per-hit
             node-DAG dispatch. (lax.switch would broadcast captured scene
-            constants per lane under batching.)"""
-            out, col, s_sel = bsdf_fns[0](params, rec, st)
-            for gi in range(1, len(bsdf_fns)):
-                o_i, c_i, s_i = bsdf_fns[gi](params, rec, st)
+            constants per lane under batching.) Each graph is wrapped in a
+            lax.cond on "any lane uses it": spatially sorted batches
+            cluster materials, so whole graphs skip for most batches."""
+            B = rec.distance.shape[0]
+            out = jnp.zeros((B, 3), f32)
+            col = jnp.zeros((B, 4), f32)
+            s_sel = st
+            for gi in range(len(bsdf_fns)):
                 m = gid == gi
-                out = jnp.where(m[..., None], o_i, out)
-                col = jnp.where(m[..., None], c_i, col)
-                s_sel = smp.select_state(m, s_i, s_sel)
+
+                def do(carry, _gi=gi, _m=m):
+                    out, col, s_sel = carry
+                    o_i, c_i, s_i = bsdf_fns[_gi](params, rec, st)
+                    return (jnp.where(_m[..., None], o_i, out),
+                            jnp.where(_m[..., None], c_i, col),
+                            smp.select_state(_m, s_i, s_sel))
+
+                out, col, s_sel = jax.lax.cond(
+                    jnp.any(m), do, lambda c: c, (out, col, s_sel))
             return out, col, s_sel
 
         def step(params, geom, shade, mat_graph, o, d, weight, final, s,
