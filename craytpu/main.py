@@ -47,7 +47,12 @@ def main(argv: list[str] | None = None) -> int:
         print(cliargs.USAGE.format(prog="craytpu"))
         return 0
 
-    if opts.get("runTests") or opts.get("runPerfTests"):
+    if opts.get("runPerfTests"):
+        # perf table (tests/perf/tests.h + testrunner.c:127-148 analogue)
+        from craytpu.utils.perftest import run_perf_tests
+        return run_perf_tests(opts.get("test_suite"))
+
+    if opts.get("runTests"):
         # test dispatch lives in the CLI exactly like args.c:224-249; we
         # delegate to pytest (the testrunner equivalent)
         import subprocess
