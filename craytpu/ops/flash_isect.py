@@ -57,17 +57,22 @@ def _search_dot(Wb, phiT):
     if MM_MODE == "highest":
         return jnp.dot(Wb, phiT, preferred_element_type=f32,
                        precision=jax.lax.Precision.HIGHEST)
+    # explicit DEFAULT precision: the global
+    # jax_default_matmul_precision=highest (set for geometry einsums,
+    # jaxsetup.py) would otherwise tag these bf16 dots fp32 and Mosaic
+    # rejects fp32-precision-with-bf16-operands ("Bad lhs type")
+    DP = jax.lax.Precision.DEFAULT
     if MM_MODE == "default":
         return jnp.dot(Wb.astype(jnp.bfloat16), phiT.astype(jnp.bfloat16),
-                       preferred_element_type=f32)
+                       preferred_element_type=f32, precision=DP)
     # bf16x3: q = W_hi@p_hi + W_lo@p_hi + W_hi@p_lo
     W_hi = Wb.astype(jnp.bfloat16)
     W_lo = (Wb - W_hi.astype(f32)).astype(jnp.bfloat16)
     p_hi = phiT.astype(jnp.bfloat16)
     p_lo = (phiT - p_hi.astype(f32)).astype(jnp.bfloat16)
-    q = jnp.dot(W_hi, p_hi, preferred_element_type=f32)
-    q = q + jnp.dot(W_lo, p_hi, preferred_element_type=f32)
-    q = q + jnp.dot(W_hi, p_lo, preferred_element_type=f32)
+    q = jnp.dot(W_hi, p_hi, preferred_element_type=f32, precision=DP)
+    q = q + jnp.dot(W_lo, p_hi, preferred_element_type=f32, precision=DP)
+    q = q + jnp.dot(W_hi, p_lo, preferred_element_type=f32, precision=DP)
     return q
 
 RAY_BLOCK = 256

@@ -25,6 +25,16 @@ def setup_jax(cache_dir: str | None = None) -> None:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    # TPU matmuls/einsums default to bf16 products. The instance-space ray
+    # transforms are einsums; at bf16 a transformed origin is off by ~1e-3
+    # relative, which makes bounced rays SELF-INTERSECT spheres (measured:
+    # 99.9% false re-hit rate on TPU, 0% on CPU) and darkens every sphere
+    # scene several-fold. Geometry math must be f32; kernels that want bf16
+    # (flash_isect's search) request it explicitly.
+    try:
+        jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:
+        pass
     cache = cache_dir or os.environ.get(
         "CRAYTPU_CACHE", os.path.expanduser("~/.cache/craytpu-jax"))
     os.makedirs(cache, exist_ok=True)
