@@ -160,25 +160,43 @@ def main(argv: list[str] | None = None) -> int:
     preview_path = os.path.join(scene.prefs.img_file_path or ".",
                                 scene.prefs.img_file_name + "_preview.png")
 
+    # Fast path: when no progressive feature is requested (no preview, no
+    # resume, not interactive), render the whole frame as ONE persistent
+    # wavefront — full device occupancy across tiles and passes, like the
+    # reference's batch mode which also only delivers the finished frame.
+    progressive = bool(preview_every or opts.get("resume")
+                       or opts.get("interactive") or start_pass)
+
     t0 = time.perf_counter()
     interrupted = False
-    try:
-        for p in range(start_pass, spp):
-            accum = r.render_pass(accum, p, spp)
-            accum.block_until_ready()
-            _status(p + 1, spp, t0, r.width, r.height)
-            if preview_every and (p + 1) % int(preview_every) == 0:
-                from craytpu.io.png import write_png
-                write_png(preview_path, np.asarray(accum),
-                          {"Samples per pixel": str(p + 1)})
-    except KeyboardInterrupt:
-        interrupted = True
-        p_done = p  # passes fully completed before the interrupted one
+    if not progressive:
+        def ray_progress(done, total):
+            frac = max(done, 0) / max(total, 1)
+            sys.stderr.write(f"\r[{int(frac * 100):3d}%] "
+                             f"{done // 1000}k/{total // 1000}k paths")
+            sys.stderr.flush()
+        accum = jnp.asarray(r.render_persistent(spp=spp,
+                                                progress=ray_progress))
         sys.stderr.write("\n")
-        logging.info("Aborting render (pass %d/%d); checkpointing", p_done,
-                     spp)
-        checkpoint.save(ckpt_path, np.asarray(accum), p_done, spp)
-        logging.info("Wrote checkpoint %s (resume with --resume)", ckpt_path)
+    else:
+        try:
+            for p in range(start_pass, spp):
+                accum = r.render_pass(accum, p, spp)
+                accum.block_until_ready()
+                _status(p + 1, spp, t0, r.width, r.height)
+                if preview_every and (p + 1) % int(preview_every) == 0:
+                    from craytpu.io.png import write_png
+                    write_png(preview_path, np.asarray(accum),
+                              {"Samples per pixel": str(p + 1)})
+        except KeyboardInterrupt:
+            interrupted = True
+            p_done = p  # passes fully completed before the interrupted one
+            sys.stderr.write("\n")
+            logging.info("Aborting render (pass %d/%d); checkpointing",
+                         p_done, spp)
+            checkpoint.save(ckpt_path, np.asarray(accum), p_done, spp)
+            logging.info("Wrote checkpoint %s (resume with --resume)",
+                         ckpt_path)
 
     render_ms = (time.perf_counter() - t0) * 1e3
     logging.info("Finished render in %s", logging.smart_time(render_ms))
