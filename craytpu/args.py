@@ -51,16 +51,25 @@ def get_sys_cores() -> int:
     return os.cpu_count() or 1
 
 
+_VALUE_FLAGS = ("--resume", "--suite", "--nodes", "-s", "-d", "-t", "-j")
+
+
 def parse_args(argv: list[str]) -> dict:
     opts: dict = {}
     input_file_set = False
     test_idx = -1
     for i, a in enumerate(argv):
         nxt = argv[i + 1] if i + 1 < len(argv) else None
-        if not input_file_set and os.path.isfile(a):
+        prev = argv[i - 1] if i > 0 else None
+        # a token that is the VALUE of a value-taking flag is never the
+        # positional scene input (`--resume ckpt.npz` must not make the
+        # checkpoint file the scene JSON)
+        is_flag_value = prev in _VALUE_FLAGS
+        if not input_file_set and not is_flag_value and os.path.isfile(a):
             opts["inputFile"] = a
             input_file_set = True
-        elif not input_file_set and os.path.isfile(a + ".json"):
+        elif (not input_file_set and not is_flag_value
+              and not a.startswith("-") and os.path.isfile(a + ".json")):
             opts["inputFile"] = a + ".json"
             input_file_set = True
         if a == "-h":

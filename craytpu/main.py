@@ -112,15 +112,32 @@ def main(argv: list[str] | None = None) -> int:
     import numpy as np
     spp = scene.prefs.sample_count
     start_pass = 0
+    persist_resume = None
     accum = jnp.zeros((r.height, r.width, 4), jnp.float32)
     if opts.get("resume"):
-        acc_np, start_pass, total = checkpoint.load(opts["resume"])
-        if acc_np.shape != (r.height, r.width, 4) or total != spp:
-            logging.error("Checkpoint %s does not match this render "
-                          "(shape %s vs %s, spp %d vs %d)", opts["resume"],
-                          acc_np.shape, (r.height, r.width, 4), total, spp)
-        accum = jnp.asarray(acc_np)
-        logging.info("Resuming at pass %d/%d", start_pass, spp)
+        if checkpoint.kind(opts["resume"]) == "persistent":
+            persist_resume, total, shape = checkpoint.load_persistent(
+                opts["resume"])
+            if shape != (r.height, r.width) or total != spp:
+                # logging.error raises FatalError -> nonzero process exit
+                logging.error(
+                    "Checkpoint %s does not match this render "
+                    "(shape %s vs %s, spp %d vs %d)", opts["resume"],
+                    shape, (r.height, r.width), total, spp)
+            logging.info("Resuming persistent render at %d/%d queue "
+                         "entries (%d in-flight paths re-traced)",
+                         persist_resume["qpos"], r.width * r.height * spp,
+                         len(persist_resume["pending"]))
+        else:
+            acc_np, start_pass, total = checkpoint.load(opts["resume"])
+            if acc_np.shape != (r.height, r.width, 4) or total != spp:
+                # logging.error raises FatalError -> nonzero process exit
+                logging.error(
+                    "Checkpoint %s does not match this render "
+                    "(shape %s vs %s, spp %d vs %d)", opts["resume"],
+                    acc_np.shape, (r.height, r.width, 4), total, spp)
+            accum = jnp.asarray(acc_np)
+            logging.info("Resuming at pass %d/%d", start_pass, spp)
 
     ckpt_path = os.path.join(scene.prefs.img_file_path or ".",
                              scene.prefs.img_file_name + ".ckpt.npz")
@@ -160,27 +177,52 @@ def main(argv: list[str] | None = None) -> int:
     preview_path = os.path.join(scene.prefs.img_file_path or ".",
                                 scene.prefs.img_file_name + "_preview.png")
 
-    # Fast path: when no progressive feature is requested (no preview, no
-    # resume, not interactive), render the whole frame as ONE persistent
+    # Fast path: when no progressive feature is requested (no preview,
+    # not interactive), render the whole frame as ONE persistent
     # wavefront — full device occupancy across tiles and passes, like the
     # reference's batch mode which also only delivers the finished frame.
-    progressive = bool(preview_every or opts.get("resume")
-                       or opts.get("interactive") or start_pass)
+    progressive = bool(preview_every or opts.get("interactive")
+                       or start_pass)
 
     t0 = time.perf_counter()
     interrupted = False
     if not progressive:
+        import signal
+
         def ray_progress(done, total):
             frac = max(done, 0) / max(total, 1)
             sys.stderr.write(f"\r[{int(frac * 100):3d}%] "
                              f"{done // 1000}k/{total // 1000}k paths")
             sys.stderr.flush()
-        accum = jnp.asarray(r.render_persistent(spp=spp,
-                                                progress=ray_progress))
+
+        # SIGINT on the fast path: checkpoint at the next refill boundary
+        # (losslessly: completed lanes' radiance + in-flight queue ids)
+        want_stop = []
+        prev_handler = signal.signal(
+            signal.SIGINT, lambda *_: want_stop.append(True))
+        try:
+            out = r.render_persistent(spp=spp, progress=ray_progress,
+                                      resume=persist_resume,
+                                      interrupt=lambda: bool(want_stop))
+        finally:
+            signal.signal(signal.SIGINT, prev_handler)
         sys.stderr.write("\n")
+        if isinstance(out, tuple) and out[0] == "interrupted":
+            _, final_sum, pending, qpos = out
+            logging.info("Aborting persistent render; checkpointing "
+                         "(%d in-flight paths recorded)", len(pending))
+            checkpoint.save_persistent(ckpt_path, final_sum, qpos, pending,
+                                       spp, (r.height, r.width))
+            logging.info("Wrote checkpoint %s (resume with --resume)",
+                         ckpt_path)
+            return 130
+        accum = jnp.asarray(out)
     else:
         try:
+            prev_accum = accum
+            p = start_pass
             for p in range(start_pass, spp):
+                prev_accum = accum  # pre-update buffer for safe checkpoint
                 accum = r.render_pass(accum, p, spp)
                 accum.block_until_ready()
                 _status(p + 1, spp, t0, r.width, r.height)
@@ -190,13 +232,18 @@ def main(argv: list[str] | None = None) -> int:
                               {"Samples per pixel": str(p + 1)})
         except KeyboardInterrupt:
             interrupted = True
-            p_done = p  # passes fully completed before the interrupted one
+            # SIGINT may land after accum was reassigned for pass p but
+            # before the pass counter advanced; checkpoint the PRE-update
+            # buffer with p so resume re-renders pass p exactly once
+            # instead of double-weighting it
+            p_done = p
             sys.stderr.write("\n")
             logging.info("Aborting render (pass %d/%d); checkpointing",
                          p_done, spp)
-            checkpoint.save(ckpt_path, np.asarray(accum), p_done, spp)
+            checkpoint.save(ckpt_path, np.asarray(prev_accum), p_done, spp)
             logging.info("Wrote checkpoint %s (resume with --resume)",
                          ckpt_path)
+            accum = prev_accum
 
     render_ms = (time.perf_counter() - t0) * 1e3
     logging.info("Finished render in %s", logging.smart_time(render_ms))

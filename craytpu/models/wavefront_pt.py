@@ -72,23 +72,17 @@ class WavefrontRenderer:
         self.bg_fn = cscene.background_fn()
         self.bsdf_fns = cscene.bsdf_fns(kind)
         self.empty_scene = cscene.n_instances == 0
-        # Traversal backend: the dense MXU search on TPU (per-lane gathers
-        # run ~100x below stream bandwidth there), the SIMT stack walk on
-        # CPU (where gathers are cheap and golden parity tests live).
+        # Traversal backend: the flash2 Pallas kernel on TPU (per-lane
+        # gathers run ~100x below stream bandwidth there), the SIMT stack
+        # walk on CPU (where gathers are cheap and golden parity tests
+        # live).
         import jax as _jax
+        from craytpu.ops.hitrec import make_isect_fn
         mode = os.environ.get("CRAYTPU_TRAVERSAL", "auto")
         if mode == "auto":
             mode = "simt" if _jax.default_backend() == "cpu" else "flash"
-        if mode == "flash" and cscene.dense_meta is not None:
-            from craytpu.ops.dense_isect import make_flash_traverse_fn
-            self.traverse = make_flash_traverse_fn(cscene.dense_meta)
-        elif mode == "dense" and cscene.dense_meta is not None:
-            from craytpu.ops.dense_isect import make_dense_traverse_fn
-            self.traverse = make_dense_traverse_fn(cscene.dense_meta)
-        else:
-            self.traverse = trv.make_traverse_fn(
-                cscene.tlas_end, cscene.stack_depth, cscene.max_leaf_tris,
-                cscene.max_leaf_inst)
+        self.isect = make_isect_fn(cscene, mode)
+        self._isect_diff_fn = None
         self.traversal_mode = mode
 
         self._init_rays = jax.jit(self._make_init_rays())
@@ -155,19 +149,27 @@ class WavefrontRenderer:
             return o, d, s
         return init_rays
 
-    def _make_step(self, rr_phase):
+    def _make_step(self, rr_phase, diff: bool = False):
         """Build one wavefront bounce step.
 
         rr_phase False/True bakes the Russian-roulette phase in statically
         (used by the host bounce loop, two compiled variants); "dynamic"
         makes the step take an extra traced `rr_active` bool so a lax.scan
         can run every depth through ONE compiled body (the differentiable /
-        multi-chip path).
+        multi-chip path). diff=True builds the vertex-differentiable
+        variant (hit records recomputed from geom.tri_packed).
         """
         kind = self.kind
         bg_fn = self.bg_fn
         bsdf_fns = self.bsdf_fns
-        traverse = self.traverse
+        if diff:
+            if self._isect_diff_fn is None:
+                from craytpu.ops.hitrec import make_isect_fn
+                self._isect_diff_fn = make_isect_fn(
+                    self.cscene, self.traversal_mode, diff=True)
+            isect = self._isect_diff_fn
+        else:
+            isect = self.isect
 
         def shade_all(params, rec, st, gid):
             """Evaluate every compiled graph on the wavefront and
@@ -203,9 +205,8 @@ class WavefrontRenderer:
             # are unchanged.
             o_t = jax.lax.stop_gradient(o)
             d_t = jax.lax.stop_gradient(d)
-            hit = traverse(geom, o_t, d_t)
-            is_hit, p_w, n_w, uv, mat_id = trv.hit_info(geom, shade, o_t, d_t,
-                                                        hit)
+            is_hit, p_w, n_w, uv, mat_id, hit_t = isect(geom, o_t, d_t,
+                                                        alive)
             is_hit = is_hit & alive
 
             # miss: final += weight * background, terminate
@@ -214,17 +215,29 @@ class WavefrontRenderer:
             take_bg = (alive & ~is_hit)[..., None]
             final = jnp.where(take_bg, final + weight * bg, final)
 
-            mat_emission = params.emission[mat_id]
-            mat_ior = params.ior[mat_id]
+            # per-material tables via one-hot matmul: narrow per-lane
+            # gathers run far below stream bandwidth on TPU, and K is tiny
+            K = params.emission.shape[0]
+            if K <= 64:
+                oh = (mat_id[:, None] == jnp.arange(K, dtype=i32)[None, :]
+                      ).astype(f32)
+                mat_emission = oh @ params.emission
+                mat_ior = oh @ params.ior
+            else:
+                mat_emission = params.emission[mat_id]
+                mat_ior = params.ior[mat_id]
             rec = shading.HitRec(incident=d, normal=n_w, uv=uv,
-                                 hit_point=p_w, distance=hit.t,
+                                 hit_point=p_w, distance=hit_t,
                                  emission=mat_emission, ior=mat_ior,
                                  mat_id=mat_id)
             # hit: final += weight * legacy emission (pathtrace.c:44)
             final = jnp.where(is_hit[..., None],
                               final + weight * mat_emission, final)
 
-            gid = mat_graph[mat_id]
+            if K <= 64:
+                gid = (oh @ mat_graph.astype(f32)).astype(i32)
+            else:
+                gid = mat_graph[mat_id]
             out, attenuation, s2 = shade_all(params, rec, s, gid)
             s = smp.select_state(is_hit, s2, s)
 
@@ -285,7 +298,7 @@ class WavefrontRenderer:
         kind = self.kind
         width = self.width
         cam_fn = self.cam_fn
-        step_dyn = self._make_step("dynamic")
+        step_dyn = self._make_step("dynamic", diff=diff_geometry)
         cs = self.cscene
         geom, shade, mat_graph = cs.geom, cs.shade, cs.mat_graph
         bg_fn = self.bg_fn
@@ -465,30 +478,187 @@ class WavefrontRenderer:
     # ------------------------------------------------------------------
     # persistent wavefront: the pool stays full across tiles AND passes
     # ------------------------------------------------------------------
-    def _make_refill(self):
-        """refill(pool..., fresh..., start): insert a fresh ray block at a
-        dynamic offset (the pool is alive-first sorted, so [n_alive:] are
-        dead slots). One fused dispatch per quantum."""
+    def _pool_step(self, k: int):
+        """k bounces over the persistent pool in ONE dispatch. Radiance
+        accumulates into a PER-LANE delta buffer (flushed to the pixel
+        framebuffer only at refill boundaries — the 262k->2M scatter-add
+        is far too expensive to pay per bounce)."""
+        key = ("pool", k)
+        if key not in self._multi_cache:
+            step_dyn = self._make_step("dynamic")
+            max_depth = self.max_depth
 
-        def refill(o, d, weight, s, lane, pdepth, fo, fd, fw, fs, flane,
-                   start):
-            def ins(a, f):
-                return jax.lax.dynamic_update_slice_in_dim(a, f, start,
-                                                           axis=0)
-            fresh_depth = jnp.zeros(flane.shape[0], i32)
-            return (ins(o, fo), ins(d, fd), ins(weight, fw),
-                    jax.tree.map(ins, s, fs), ins(lane, flane),
-                    ins(pdepth, fresh_depth))
+            def multi(params, geom, shade, mat_graph, o, d, weight, s,
+                      alive, pdepth, delta):
+                def body(carry, _):
+                    o, d, w, dl, s, alive, pd = carry
+                    # per-path bounce cap (prefs.bounces): the persistent
+                    # pool has no outer depth loop to enforce it
+                    alive = alive & (pd < max_depth)
+                    o, d, w, dl, s, alive = step_dyn(
+                        params, geom, shade, mat_graph, o, d, w, dl, s,
+                        alive, pd >= 4)
+                    return (o, d, w, dl, s, alive, pd + 1), None
 
-        return jax.jit(refill, donate_argnums=(0, 1, 2, 3, 4, 5))
+                (o, d, weight, delta, s, alive, pdepth), _ = jax.lax.scan(
+                    body, (o, d, weight, delta, s, alive, pdepth),
+                    None, length=k)
+                return (o, d, weight, s, alive, pdepth, delta,
+                        jnp.sum(alive, dtype=i32))
 
-    def render_persistent(self, spp: int | None = None, progress=None):
+            self._multi_cache[key] = jax.jit(
+                multi, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
+        return self._multi_cache[key]
+
+    def _morton_key(self):
+        """Spatial+octant sort key (dead lanes -> max key, so a stable
+        argsort is simultaneously the alive-first pack)."""
+        bb = np.asarray(self.cscene.geom.node_bounds[0])
+        lo = jnp.asarray(bb[[0, 2, 4]])
+        ext = np.maximum(bb[[1, 3, 5]] - bb[[0, 2, 4]], 1e-6)
+        inv_ext = jnp.asarray((127.0 / ext).astype(np.float32))
+
+        def spread3(x):
+            x = (x | (x << 8)) & 0x0100F00F
+            x = (x | (x << 4)) & 0x10C30C3
+            x = (x | (x << 2)) & 0x9249249
+            return x
+
+        def key_fn(o, d, alive):
+            q = jnp.clip(((o - lo) * inv_ext), 0.0, 127.0).astype(u32)
+            octant = ((d[:, 0] < 0) + 2 * (d[:, 1] < 0)
+                      + 4 * (d[:, 2] < 0)).astype(u32)
+            key = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                   | (spread3(q[:, 2]) << 2)) | (octant << 21)
+            return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+        return key_fn
+
+    @staticmethod
+    def _permute_pool(order, o, d, weight, delta, s, alive, lane, lpass,
+                      pdepth):
+        """Apply a lane permutation through TWO wide stacked gathers.
+        Narrow (B,) gathers run ~10x below row-gather bandwidth on TPU, so
+        permuting the 11 pool arrays one by one costs more than the bounce
+        step itself; stacked as (B, 15) f32 + (B, 9) i32 it's two cheap
+        row gathers."""
+        F = jnp.concatenate(
+            [o, d, weight, delta,
+             s.rnd_offset.astype(f32)[:, None]], axis=1)[order]
+        I = jnp.stack(
+            [s.pcg_hi.view(i32), s.pcg_lo.view(i32),
+             s.curr_prime.astype(i32), s.curr_pass.astype(i32),
+             s.max_passes.astype(i32), lane, lpass, pdepth,
+             alive.astype(i32)], axis=1)[order]
+        from craytpu.ops.sampler import SamplerState
+        s2 = SamplerState(pcg_hi=I[:, 0].view(u32), pcg_lo=I[:, 1].view(u32),
+                          rnd_offset=F[:, 14], curr_prime=I[:, 2],
+                          curr_pass=I[:, 3], max_passes=I[:, 4])
+        return (F[:, 0:3], F[:, 3:6], F[:, 6:10], F[:, 10:14], s2,
+                I[:, 8].astype(bool), I[:, 5], I[:, 6], I[:, 7])
+
+    def _flush_pack_refill(self, B: int, m: int, Q: int):
+        """One fused dispatch at a refill boundary:
+          1. scatter-add COMPLETED (dead) lanes' radiance deltas into the
+             framebuffer (live lanes keep their partial sums in delta so an
+             interrupt checkpoint can re-enqueue them without double
+             counting)
+          2. Morton/octant sort the pool (dead lanes last): spatially
+             coherent ray blocks keep the flash kernel's bbox culling
+             effective on bounced rays (measured 95 -> 36 ms per step)
+          3. overwrite the tail m*Q slots with fresh primaries (the caller
+             guarantees n_alive <= B - m*Q via the lagged live count)
+        """
+        key = ("fpr", B, m, Q)
+        if key not in self._multi_cache:
+            key_fn = self._morton_key()
+
+            def fpr(final, o, d, weight, s, alive, lane, lpass, pdepth,
+                    delta, fo, fd, fs, flane, fpass, falive):
+                dead_delta = jnp.where(alive[..., None], f32(0.0), delta)
+                final = final.at[lane].add(dead_delta)
+                delta = jnp.where(alive[..., None], delta, f32(0.0))
+                order = jnp.argsort(key_fn(o, d, alive))
+                (o, d, weight, delta, s, alive, lane, lpass,
+                 pdepth) = self._permute_pool(order, o, d, weight, delta,
+                                              s, alive, lane, lpass, pdepth)
+
+                start = B - m * Q
+
+                def ins(a, f):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        a, f, start, axis=0)
+
+                o, d = ins(o, fo), ins(d, fd)
+                weight = ins(weight, jnp.ones((m * Q, 4), f32))
+                s = jax.tree.map(ins, s, fs)
+                lane, lpass = ins(lane, flane), ins(lpass, fpass)
+                pdepth = ins(pdepth, jnp.zeros(m * Q, i32))
+                alive = ins(alive, falive)
+                delta = ins(delta, jnp.zeros((m * Q, 4), f32))
+                return (final, o, d, weight, s, alive, lane, lpass,
+                        pdepth, delta)
+
+            self._multi_cache[key] = jax.jit(
+                fpr, donate_argnums=tuple(range(10)))
+        return self._multi_cache[key]
+
+    def _final_flush(self):
+        if ("flush",) not in self._multi_cache:
+            def fl(final, lane, delta, alive):
+                # flush only DEAD lanes' radiance (live lanes are in-flight
+                # paths whose partial sums must not hit the framebuffer —
+                # the SIGINT checkpoint path re-enqueues them instead)
+                z = jnp.where(alive[..., None], f32(0.0), delta)
+                return final.at[lane].add(z)
+            self._multi_cache[("flush",)] = jax.jit(fl, donate_argnums=(0,))
+        return self._multi_cache[("flush",)]
+
+    def _pack_shrink(self, Bn: int):
+        """Flush dead lanes' radiance, Morton-sorted alive-first pack,
+        then truncate the pool to Bn lanes (drain phase). The flush must
+        happen HERE: truncation drops dead lanes, and their deltas are
+        only ever flushed at pack boundaries."""
+        key = ("shrink", Bn)
+        if key not in self._multi_cache:
+            key_fn = self._morton_key()
+
+            def ps(final, o, d, weight, s, alive, lane, lpass, pdepth,
+                   delta):
+                dead_delta = jnp.where(alive[..., None], f32(0.0), delta)
+                final = final.at[lane].add(dead_delta)
+                delta = jnp.where(alive[..., None], delta, f32(0.0))
+                order = jnp.argsort(key_fn(o, d, alive))[:Bn]
+                (o, d, weight, delta, s, alive, lane, lpass,
+                 pdepth) = self._permute_pool(order, o, d, weight, delta,
+                                              s, alive, lane, lpass, pdepth)
+                return (final, o, d, weight, s, alive, lane, lpass,
+                        pdepth, delta)
+            self._multi_cache[key] = jax.jit(ps, donate_argnums=(0,))
+        return self._multi_cache[key]
+
+    def render_persistent(self, spp: int | None = None, progress=None,
+                          resume=None, interrupt=None):
         """Full render as ONE persistent wavefront: a fixed pool of
         tile_rays lanes; dead lanes are replaced by fresh (pixel, pass)
         primaries from the queue, so every dispatch runs near-full
         occupancy across tile and pass boundaries (no per-pass drain).
-        Radiance scatter-adds by pixel id; same per-(pixel, pass) streams
-        as render(), same result up to float accumulation order."""
+        Same per-(pixel, pass) streams as render(), same result up to
+        float accumulation order.
+
+        The host loop is PIPELINED: the live count of step i is fetched
+        asynchronously and consumed one step late, so the device never
+        idles on the host round trip (the dominant per-step cost over the
+        device tunnel). The lagged count only ever overestimates the live
+        set, so refill decisions stay safe.
+
+        resume: optional dict from a persistent checkpoint
+        (runtime/checkpoint.py): {final_sum (npix,4), qpos, pending} where
+        pending is an (n,) int64 array of in-flight queue ids to re-trace.
+        interrupt: optional callable polled once per refill boundary; when
+        it returns True the render stops and returns
+        (final_sum, qpos, pending_qids) for checkpointing instead of the
+        finished frame.
+        """
         spp = spp if spp is not None else self.cscene.prefs.sample_count
         H, W = self.height, self.width
         npix = H * W
@@ -501,74 +671,135 @@ class WavefrontRenderer:
         xs_f, ys_f = np.asarray(xs_f[:npix]), np.asarray(ys_f[:npix])
         B = min(self.tile_rays, _next_pow2(npix))
         Q = B // 4                      # refill quantum
-        if getattr(self, "_compact", None) is None:
-            _, self._compact = self._make_compact()
-            self._compact = jax.jit(self._compact, static_argnums=(7,))
-        if getattr(self, "_refill", None) is None:
-            self._refill = self._make_refill()
         cs = self.cscene
+        import os
+        k = int(os.environ.get("CRAYTPU_POOL_K", "1"))
 
-        qpos = 0                        # queue position in [0, npix*spp)
         total = npix * spp
+        qpos = 0                        # queue position in [0, total)
+        pending: list = []              # re-enqueued (resume) queue ids
+        final = jnp.zeros((npix, 4), f32)
+        if resume is not None:
+            final = jnp.asarray(resume["final_sum"], f32).reshape(npix, 4)
+            qpos = int(resume["qpos"])
+            pending = list(np.asarray(resume["pending"], np.int64))
 
         def take(n):
-            nonlocal qpos
-            idx = (np.arange(qpos, qpos + n) % total)
-            take_n = min(n, total - qpos)
-            px = idx % npix
+            """Next n queue entries as fresh primaries (+ alive mask).
+            Entries past the end of the queue are padded dead."""
+            nonlocal qpos, pending
+            ids = []
+            if pending:
+                ids = pending[:n]
+                pending = pending[len(ids):]
+            rem = n - len(ids)
+            if rem:
+                tk = min(rem, total - qpos)
+                ids = np.concatenate([
+                    np.asarray(ids, np.int64),
+                    np.arange(qpos, qpos + tk, dtype=np.int64)])
+                qpos += tk
+            else:
+                ids = np.asarray(ids, np.int64)
+            took = ids.shape[0]
+            ids_pad = np.concatenate(
+                [ids, np.zeros(n - took, np.int64)]) if took < n else ids
+            px = ids_pad % npix
             xs = jnp.asarray(xs_f[px])
             ys = jnp.asarray(ys_f[px])
-            passes = jnp.asarray((idx // npix).astype(np.int32))
+            passes = jnp.asarray((ids_pad // npix).astype(np.int32))
             o, d, s = self._init_rays(xs, ys, passes, i32(spp))
             lane = jnp.asarray((ys_f[px].astype(np.int64) * W
                                 + xs_f[px]).astype(np.int32))
-            qpos += take_n
-            return o, d, s, lane, take_n
+            falive = jnp.asarray(np.arange(n) < took)
+            return o, d, s, lane, passes, falive, took
+
+        def queue_left():
+            return len(pending) + (total - qpos)
 
         # prime the pool
-        o, d, s, lane, took = take(B)
+        o, d, s, lane, lpass, alive, took = take(B)
         weight = jnp.ones((B, 4), f32)
-        alive = jnp.arange(B, dtype=i32) < took
         pdepth = jnp.zeros(B, i32)
-        final = jnp.zeros((npix, 4), f32)
-        n_alive = took
+        delta = jnp.zeros((B, 4), f32)
+        stale_n = took                 # lagged upper bound on live lanes
+        counts: list = []              # in-flight [count_array, adjust]
+        pool_step = self._pool_step(k)
         while True:
             Bc = alive.shape[0]
-            k = 2 if Bc > 32768 else (4 if Bc > 4096 else 8)
-            o, d, weight, s, alive, pdepth, final, n_live = \
-                self._multi_step(k)(
-                    cs.params, cs.geom, cs.shade, cs.mat_graph,
-                    o, d, weight, s, alive, pdepth, final, lane)
-            n_alive = int(n_live)
+            o, d, weight, s, alive, pdepth, delta, n_live = pool_step(
+                cs.params, cs.geom, cs.shade, cs.mat_graph,
+                o, d, weight, s, alive, pdepth, delta)
+            try:
+                n_live.copy_to_host_async()
+            except AttributeError:      # pragma: no cover - older jax
+                pass
+            counts.append([n_live, 0])
+            if len(counts) >= 2:
+                arr, adj = counts.pop(0)
+                stale_n = int(arr) + adj
             if progress is not None:
-                progress(min(qpos, total) - n_alive, total)
-            if n_alive == 0 and qpos >= total:
-                break
-            if qpos < total and Bc == B and n_alive <= B - Q:
-                # sort alive-first (and spatially), then insert fresh
-                # quanta at the dead tail
-                o, d, weight, s, lane, pdepth = self._compact(
-                    o, d, weight, s, alive, lane, pdepth, B)
-                while n_alive <= B - Q and qpos < total:
-                    fo, fd, fs, flane, took = take(Q)
-                    fw = jnp.ones((Q, 4), f32)
-                    o, d, weight, s, lane, pdepth = self._refill(
-                        o, d, weight, s, lane, pdepth, fo, fd, fw, fs,
-                        flane, i32(n_alive))
-                    n_alive += took
-                alive = jnp.arange(B, dtype=i32) < n_alive
-            elif qpos >= total:
-                # drain: shrink buckets like trace_batch
-                need = max(_next_pow2(max(n_alive, 1)), 1024)
+                progress(total - queue_left() - min(stale_n, Bc), total)
+
+            if queue_left() > 0 and Bc == B and stale_n <= B - Q:
+                # fused flush+pack+refill on the LAGGED count: it only
+                # overestimates the live set, so the tail slots it clears
+                # are guaranteed dead — no blocking sync needed
+                m = min((B - stale_n) // Q, 4,
+                        max((queue_left() + Q - 1) // Q, 1))
+                if m >= 1:
+                    if interrupt is not None and interrupt():
+                        return self._persistent_interrupt(
+                            final, alive, lane, lpass, delta, npix, qpos)
+                    fo, fd, fs, flane, fpass, falive, took = take(m * Q)
+                    (final, o, d, weight, s, alive, lane, lpass, pdepth,
+                     delta) = self._flush_pack_refill(B, m, Q)(
+                        final, o, d, weight, s, alive, lane, lpass,
+                        pdepth, delta, fo, fd, fs, flane, fpass, falive)
+                    # counts issued before this refill undercount by took
+                    for e in counts:
+                        e[1] += took
+                    stale_n += took
+            elif queue_left() == 0:
+                # drain: exact count, early exit, shrink buckets
+                stale_n = int(counts[-1][0]) + counts[-1][1]
+                counts.clear()
+                if stale_n == 0:
+                    break
+                if interrupt is not None and interrupt():
+                    return self._persistent_interrupt(
+                        final, alive, lane, lpass, delta, npix, qpos)
+                need = max(_next_pow2(max(stale_n, 1)), 1024)
                 Bn = Bc
                 while Bn // 4 >= need:
                     Bn //= 4
                 if Bn < Bc:
-                    o, d, weight, s, lane, pdepth = self._compact(
-                        o, d, weight, s, alive, lane, pdepth, Bn)
-                    alive = jnp.arange(Bn, dtype=i32) < n_alive
+                    (final, o, d, weight, s, alive, lane, lpass, pdepth,
+                     delta) = self._pack_shrink(Bn)(
+                        final, o, d, weight, s, alive, lane, lpass,
+                        pdepth, delta)
+        final = self._final_flush()(final, lane, delta, alive)
         final = final / f32(spp)
         return jax.device_get(final.reshape(H, W, 4))
+
+    def _persistent_interrupt(self, final, alive, lane, lpass, delta,
+                              npix, qpos):
+        """Checkpoint state at an interrupt: flush completed (dead) lanes'
+        radiance, collect in-flight (pixel, pass) queue ids to re-trace.
+        Returns ("interrupted", final_sum (npix,4) np, pending ids, qpos)."""
+        final = self._final_flush()(final, lane, delta, alive)
+        alive_h = np.asarray(alive)
+        lane_h = np.asarray(lane)[alive_h]
+        pass_h = np.asarray(lpass)[alive_h]
+        # queue ids index the TILE-ORDER pixel schedule; lane is the flat
+        # pixel id — invert the schedule permutation
+        xs_f, ys_f, _, _, _, _ = self._pixel_schedule
+        xs_f, ys_f = np.asarray(xs_f[:npix]), np.asarray(ys_f[:npix])
+        inv = np.empty(npix, np.int64)
+        inv[ys_f.astype(np.int64) * self.width + xs_f] = np.arange(npix)
+        pend = pass_h.astype(np.int64) * npix + inv[lane_h]
+        # the remaining queue tail is re-taken on resume via qpos
+        return ("interrupted", np.asarray(final), pend, qpos)
 
 
 def render(cscene: CompiledScene, kind: str = smp.RANDOM,

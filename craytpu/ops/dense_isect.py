@@ -82,17 +82,19 @@ def ray_features(o, d):
 
 
 def build_tri_coeffs_T(tri_packed: np.ndarray, phi_dim: int = 16):
-    """Transposed coefficient blocks for the Pallas kernel plus per-block
-    bboxes: (nb, 4*TRI_BLOCK, phi_dim) f32 and (nb, 8) f32.
+    """PHI-major coefficient blocks for the Pallas kernel plus per-block
+    bboxes: (nb, phi_dim, 4*TRI_BLOCK) f32 and (nb, 8) f32.
 
-    Within a block, sublane groups are [det | u*det | v*det | t*det].
-    Block bboxes cover the block's triangles in mesh space — triangle
-    packing follows BVH order, so blocks are spatially coherent.
+    Within a block, lane groups are [det | u*det | v*det | t*det]. The
+    lane dim is 4*TRI_BLOCK (a multiple of 128) so HBM DMA slices stay
+    tile-aligned. Block bboxes cover the block's triangles in mesh
+    space — triangle packing follows BVH order, so blocks are spatially
+    coherent.
     """
     W = build_tri_coeffs(tri_packed)            # (nb, 10, 4*TB)
     nb = W.shape[0]
-    WT = np.zeros((nb, 4 * TRI_BLOCK, phi_dim), np.float32)
-    WT[:, :, :10] = W.transpose(0, 2, 1)
+    WT = np.zeros((nb, phi_dim, 4 * TRI_BLOCK), np.float32)
+    WT[:, :10, :] = W
     tri = np.asarray(tri_packed, np.float32)
     v0, e1, e2 = tri[:, 0:3], tri[:, 3:6], tri[:, 6:9]
     v1 = v0 - e1

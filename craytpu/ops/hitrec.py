@@ -1,0 +1,199 @@
+"""Hit-record resolution: winner ids -> shading-ready hit data.
+
+The TPU counterpart of the reference's hit-record population
+(instance.c:45-60 spheres, instance.c:169-185 + poly.c:37-48 meshes),
+fused into as few WIDE row gathers as possible: per-lane narrow gathers
+run ~10x below row-gather bandwidth on TPU, so v1's chain (tri_packed x2,
+tri_shade, tri_mf, inst_A, inst_Ainv, sph_mat — 7 gathers across
+exact_recompute + hit_info, ~35 ms/bounce at 262k rays) is collapsed to
+TWO gathers of denormalized rows:
+
+  tri_wide  (P, 32) f32: [v0 e1 e2 n | n0 n1 n2 | uv0 uv1 uv2 | mat flags]
+  inst_wide (I, 28) f32: [A(12) | Ainv(12) | rayOffset | sphere_mat]
+
+Exact (t, u, v) are recomputed here with the classic Möller-Trumbore
+formulation on the single winner (same ops, same order as the SIMT path),
+so shading consumes bit-identical hit data to the reference-exact
+traversal whenever the same primitive wins. Sphere t comes from the
+kernel's exact f32 quadratic (identical formula to ops/intersect.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from craytpu.ops import intersect as isx
+from craytpu.ops import vecmath as vm
+
+f32 = jnp.float32
+i32 = jnp.int32
+FLT_MAX = isx.FLT_MAX
+
+
+def build_wide_rows(tri_packed, tri_shade, tri_mf, inst_A, inst_Ainv,
+                    inst_offset, inst_kind, inst_obj, sph_mat):
+    """Host-side construction of the denormalized rows (numpy)."""
+    P = tri_packed.shape[0]
+    tw = np.zeros((P, 32), np.float32)
+    tw[:, 0:12] = tri_packed
+    tw[:, 12:21] = tri_shade[:, 0:9]       # n0, n1, n2
+    tw[:, 21:27] = tri_shade[:, 9:15]      # uv0, uv1, uv2
+    tw[:, 27] = tri_mf[:, 0].astype(np.float32)   # mat (exact to 2^24)
+    tw[:, 28] = tri_mf[:, 1].astype(np.float32)   # flags
+
+    Imax = inst_A.shape[0]
+    iw = np.zeros((Imax, 28), np.float32)
+    iw[:, 0:12] = inst_A.reshape(Imax, -1)
+    iw[:, 12:24] = inst_Ainv.reshape(Imax, -1)
+    iw[:, 24] = inst_offset
+    from craytpu.scene.device import INST_SPHERE
+    for i in range(Imax):
+        if inst_kind[i] == INST_SPHERE:
+            iw[i, 25] = float(sph_mat[inst_obj[i]])
+    return tw, iw
+
+
+def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
+    """hitrec(geom, o_w, d_w, t_k, prim, inst) ->
+    (is_hit, p_w, n_w, uv, mat_id, t, u, v).
+
+    diff=True sources the triangle row from geom.tri_packed (an extra
+    gather) so vertex gradients flow through the exact recompute; the
+    static tri_wide copy is used otherwise.
+    """
+    tri_wide = jnp.asarray(tri_wide)
+    inst_wide = jnp.asarray(inst_wide)
+
+    def hitrec(geom, o_w, d_w, t_k, prim, inst):
+        B = o_w.shape[0]
+        is_hit = inst >= 0
+        safe_inst = jnp.maximum(inst, 0)
+        iw = inst_wide[safe_inst]                       # (B, 28)
+        A = iw[:, 0:12].reshape(-1, 3, 4)
+        Ainv = iw[:, 12:24].reshape(-1, 3, 4)
+        off = iw[:, 24]
+        # object-space ray — identical ops to traverse.space_ray
+        o_s = (jnp.einsum("...ij,...j->...i", Ainv[..., :, :3], o_w)
+               + Ainv[..., :, 3])
+        d_s = jnp.einsum("...ij,...j->...i", Ainv[..., :, :3], d_w)
+        o_s = o_s + d_s * off[..., None]
+
+        is_sphere = prim < 0
+        pr = jnp.maximum(prim, 0)
+        tw = tri_wide[pr]                               # (B, 32)
+        tri_row = geom.tri_packed[pr] if diff else tw[:, 0:12]
+        # exact winner recompute (bit-identical to the SIMT tri test)
+        _, t_x, u_x, v_x = isx.tri_intersect(
+            tri_row, o_s, d_s, jnp.full(B, FLT_MAX, f32))
+        is_tri = is_hit & ~is_sphere
+        t = jnp.where(is_tri, t_x, t_k)
+        u = jnp.where(is_tri, u_x, f32(0.0))
+        v = jnp.where(is_tri, v_x, f32(0.0))
+        t = jnp.where(is_hit, t, FLT_MAX)
+
+        p_obj = o_s + d_s * t[..., None]
+
+        # --- sphere path (instance.c:45-60) ---
+        sph_len = jnp.where(is_sphere, vm.vlength(p_obj), f32(1.0))
+        n_obj_sphere = p_obj / jnp.where(sph_len == 0, f32(1.0),
+                                         sph_len)[..., None]
+        if sphere_uv:
+            # getTexMapSphere (instance.c:33-43), object-space normal
+            phi = jnp.arctan2(n_obj_sphere[..., 2], n_obj_sphere[..., 0])
+            theta = jnp.arcsin(jnp.clip(n_obj_sphere[..., 1], -1.0, 1.0))
+            sph_v = (theta + vm.PI / f32(2.0)) / vm.PI
+            sph_u = f32(1.0) - (phi + vm.PI) / (vm.PI * f32(2.0))
+            sph_u = vm.wrap_min_max(sph_u, f32(0.0), f32(1.0))
+            sph_v = vm.wrap_min_max(sph_v, f32(0.0), f32(1.0))
+        else:
+            # no sphere material in this scene reads uv — skip the trig
+            sph_u = jnp.zeros(B, f32)
+            sph_v = jnp.zeros(B, f32)
+        sph_mat = iw[:, 25].astype(i32)
+
+        # --- mesh path ---
+        w = f32(1.0) - u - v
+        n_smooth = (tw[:, 15:18] * u[..., None]
+                    + tw[:, 18:21] * v[..., None]
+                    + tw[:, 12:15] * w[..., None])
+        n_flat = tri_row[:, 9:12]
+        flags = tw[:, 28].astype(i32)
+        has_n = (flags & 1) == 1
+        n_obj_mesh = jnp.where(has_n[..., None], n_smooth, n_flat)
+        uv_mesh = (tw[:, 23:25] * u[..., None]
+                   + tw[:, 25:27] * v[..., None]
+                   + tw[:, 21:23] * w[..., None])
+        uv_ok = (flags & 2) == 2
+        uv_mesh = jnp.where(uv_ok[..., None], uv_mesh,
+                            jnp.array([-1.0, -1.0], f32))
+        mesh_mat = tw[:, 27].astype(i32)
+
+        n_obj = jnp.where(is_sphere[..., None], n_obj_sphere, n_obj_mesh)
+        # world normal: transformVectorWithTranspose(Ainv) == Ainv^T
+        n_w = jnp.einsum("...ji,...j->...i", Ainv[..., :, :3], n_obj)
+        n_len = vm.vlength(n_w)
+        n_w = jnp.where(is_sphere[..., None], n_w,
+                        n_w / jnp.where(n_len == 0, f32(1.0),
+                                        n_len)[..., None])
+
+        p_w = (jnp.einsum("...ij,...j->...i", A[..., :, :3], p_obj)
+               + A[..., :, 3])
+        uv = jnp.where(is_sphere[..., None],
+                       jnp.stack([sph_u, sph_v], axis=-1), uv_mesh)
+        mat_id = jnp.where(is_sphere, sph_mat, mesh_mat)
+        return (is_hit, p_w, n_w, uv, jnp.where(is_hit, mat_id, 0),
+                t, u, v)
+
+    return hitrec
+
+
+def make_isect_fn(cscene, mode: str, diff: bool = False):
+    """Unified closest-hit + hit-record resolve:
+    isect(geom, o_w, d_w, alive) -> (is_hit, p_w, n_w, uv, mat_id, t).
+
+    mode: "flash" (Pallas flash2 kernel, TPU), "dense" (pure-XLA MXU
+    search), "simt" (reference-exact batched stack walk, CPU/parity).
+    """
+    dm = cscene.dense_meta
+
+    if mode == "flash" and dm is not None and dm.get("mesh_plan") is not None:
+        from craytpu.ops import flash2 as fx2
+        flash = fx2.build_flash2_fn(dm)
+        hitrec = make_hitrec_fn(dm["tri_wide"], dm["inst_wide"],
+                                dm["sphere_uv"], diff)
+
+        def isect(geom, o_w, d_w, alive):
+            B = o_w.shape[0]
+            rays_T = fx2.pack_rays_T(o_w, d_w)
+            limit = jnp.where(alive, f32(FLT_MAX), f32(0.0))
+            t, p, ii = flash(rays_T, fx2.pack_limit(limit, rays_T.shape[0]))
+            t_k = t.reshape(-1)[:B]
+            prim = p.reshape(-1)[:B]
+            inst = ii.reshape(-1)[:B]
+            out = hitrec(geom, o_w, d_w, t_k, prim, inst)
+            return out[:6]
+        return isect
+
+    if mode == "dense" and dm is not None:
+        from craytpu.ops import dense_isect as dx
+        trav = dx.make_dense_traverse_fn(dm)
+    else:
+        from craytpu.ops import traverse as trv
+        trav = cscene_traverse(cscene)
+
+    from craytpu.ops import traverse as trv
+
+    def isect(geom, o_w, d_w, alive):
+        hit = trav(geom, o_w, d_w)
+        is_hit, p_w, n_w, uv, mat_id = trv.hit_info(geom, cscene.shade,
+                                                    o_w, d_w, hit)
+        return is_hit & alive, p_w, n_w, uv, mat_id, hit.t
+    return isect
+
+
+def cscene_traverse(cscene):
+    from craytpu.ops import traverse as trv
+    return trv.make_traverse_fn(cscene.tlas_end, cscene.stack_depth,
+                                cscene.max_leaf_tris, cscene.max_leaf_inst)

@@ -329,24 +329,81 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
                   for i, inst in enumerate(scene.instances)]
     inst_rows = np.zeros((Imax, 24), F)
     plan = []
+    mesh_plan = []
+    sph_plan = []
+    # per-mesh superblock (8-block group) bboxes over the block bboxes
+    from craytpu.ops.flash2 import SB_BLOCKS
+    bb_all = np.concatenate(bb_blocks) if bb_blocks else np.zeros((1, 8), F)
+    mesh_sb_start, mesh_sb_count = [], []
+    sb_rows = []
+    for mi in range(len(scene.meshes)):
+        b0, nb = mesh_block_start[mi], mesh_block_count[mi]
+        mesh_sb_start.append(len(sb_rows))
+        nsb = (nb + SB_BLOCKS - 1) // SB_BLOCKS
+        mesh_sb_count.append(nsb)
+        for s in range(nsb):
+            blk = bb_all[b0 + s * SB_BLOCKS:b0 + min((s + 1) * SB_BLOCKS,
+                                                     nb)]
+            sb_rows.append([blk[:, 0].min(), blk[:, 1].max(),
+                            blk[:, 2].min(), blk[:, 3].max(),
+                            blk[:, 4].min(), blk[:, 5].max(), 0, 0])
+    sb_bb = (np.asarray(sb_rows, F) if sb_rows else np.zeros((1, 8), F))
     for i, inst in enumerate(scene.instances):
         inst_rows[i, 0:12] = inst_Ainv[i].reshape(-1)
         inst_rows[i, 12] = inst_offset[i]
         if inst.kind == INST_MESH and mesh_W[inst.obj_index] is not None:
-            inst_rows[i, 13:19] = mesh_root_bb[inst.obj_index]
-            plan.append((i, mesh_block_start[inst.obj_index],
-                         mesh_block_count[inst.obj_index],
-                         int(tri_base[inst.obj_index])))
+            mi = inst.obj_index
+            inst_rows[i, 13:19] = mesh_root_bb[mi]
+            plan.append((i, mesh_block_start[mi], mesh_block_count[mi],
+                         int(tri_base[mi])))
+            mesh_plan.append([i, mesh_block_start[mi],
+                              mesh_block_count[mi], mesh_sb_start[mi],
+                              mesh_sb_count[mi], int(tri_base[mi])])
+        elif inst.kind == INST_SPHERE:
+            inst_rows[i, 19] = sph_radius[inst.obj_index]
+            sph_plan.append([i])
+
+    # does any sphere's material graph read uv? (checker/image nodes) —
+    # if not, hitrec skips the sphere uv trig (arctan2/arcsin per lane)
+    def _reads_uv(ir):
+        if isinstance(ir, tuple):
+            if len(ir) and ir[0] in ("image", "checker"):
+                return True
+            return any(_reads_uv(x) for x in ir)
+        return False
+    sphere_uv = any(_reads_uv(scene.spheres[s].material.bsdf_ir)
+                    for s in range(len(scene.spheres)))
+
+    from craytpu.ops.hitrec import build_wide_rows
+    tri_wide, inst_wide = build_wide_rows(
+        tri_packed, tri_shade, tri_mf, inst_A, inst_Ainv, inst_offset,
+        inst_kind, inst_obj, sph_mat)
+
+    # PHI-major layout (NB, PHI, 4*TB): HBM DMA slices must keep the lane
+    # dim (last, multiple of 128) intact — see flash2._search_dot
+    W_all = (np.concatenate(WT_blocks) if WT_blocks
+             else np.zeros((1, 16, 4 * 256), F))
+    W_pad = np.concatenate(
+        [W_all, np.zeros((SB_BLOCKS,) + W_all.shape[1:], F)])
     dense_meta = {
         "mesh_W": mesh_W,
         "mesh_base": list(tri_base),
         "inst_order": inst_order,
-        "W_T": jnp.asarray(np.concatenate(WT_blocks) if WT_blocks
-                           else np.zeros((1, 4 * 256, 16), F)),
-        "bb": jnp.asarray(np.concatenate(bb_blocks) if bb_blocks
-                          else np.zeros((1, 8), F)),
+        "W_pad": jnp.asarray(W_pad),
+        "bb": jnp.asarray(bb_all),
+        "sb_bb": jnp.asarray(sb_bb),
         "inst_rows": jnp.asarray(inst_rows),
         "plan": tuple(plan),
+        "mesh_plan": jnp.asarray(np.asarray(mesh_plan, I).reshape(-1, 6)
+                                 if mesh_plan else np.zeros((1, 6), I)),
+        "sph_plan": jnp.asarray(np.asarray(sph_plan, I).reshape(-1, 1)
+                                if sph_plan else np.zeros((1, 1), I)),
+        "n_mesh_inst": len(mesh_plan),
+        "n_sph_inst": len(sph_plan),
+        "nsb_max": max(mesh_sb_count) if mesh_sb_count else 1,
+        "tri_wide": jnp.asarray(tri_wide),
+        "inst_wide": jnp.asarray(inst_wide),
+        "sphere_uv": bool(sphere_uv),
     }
 
     return CompiledScene(

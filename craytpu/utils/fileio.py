@@ -45,8 +45,10 @@ def load_file(path: str, text: bool = False):
         try:
             data = _worker_cache[key]
         except KeyError:
-            from craytpu.utils import logging
-            logging.error("Worker has no cached file for %s", path)
+            # fail cleanly (a worker has no disk fallback by design);
+            # the cluster loop reports the error to the master
+            raise FileNotFoundError(
+                f"Worker has no cached file for {path}") from None
         return data.decode("utf-8", errors="replace") if text else data
     with open(path, "rb") as f:
         data = f.read()

@@ -1,0 +1,81 @@
+"""Checkpoint/resume: progressive round trip, persistent interrupt ->
+checkpoint -> resume equals the uninterrupted render, and the CLI arg
+parser not eating flag values as the scene path."""
+
+import os
+
+import numpy as np
+import pytest
+
+from craytpu.runtime import checkpoint
+from craytpu.scene.sceneloader import load_scene_from_file
+from craytpu.scene.compile import compile_scene
+from craytpu.models.wavefront_pt import WavefrontRenderer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCENE = os.path.join(REPO, "assets", "entry_scene.json")
+
+
+def test_progressive_roundtrip(tmp_path):
+    p = str(tmp_path / "c.npz")
+    acc = np.random.default_rng(0).normal(size=(4, 6, 4)).astype(np.float32)
+    checkpoint.save(p, acc, 3, 16)
+    assert checkpoint.kind(p) == "progressive"
+    a2, done, total = checkpoint.load(p)
+    np.testing.assert_array_equal(a2, acc)
+    assert (done, total) == (3, 16)
+
+
+def test_persistent_roundtrip(tmp_path):
+    p = str(tmp_path / "c.npz")
+    fs = np.ones((24, 4), np.float32)
+    pend = np.array([5, 99, 12], np.int64)
+    checkpoint.save_persistent(p, fs, 1234, pend, 8, (4, 6))
+    assert checkpoint.kind(p) == "persistent"
+    resume, total, shape = checkpoint.load_persistent(p)
+    np.testing.assert_array_equal(resume["final_sum"], fs)
+    np.testing.assert_array_equal(resume["pending"], pend)
+    assert resume["qpos"] == 1234
+    assert total == 8 and shape == (4, 6)
+
+
+def test_persistent_interrupt_resume_lossless():
+    """Interrupt a persistent render mid-flight, checkpoint, resume: the
+    final image must equal the uninterrupted render exactly (same paths
+    traced once each; only float accumulation order may differ)."""
+    scene = load_scene_from_file(SCENE)
+    r = WavefrontRenderer(compile_scene(scene), tile_rays=2048)
+    spp = 3
+    ref = r.render_persistent(spp=spp)
+
+    calls = []
+
+    def interrupt():
+        calls.append(1)
+        return len(calls) == 2  # stop at the second refill boundary
+
+    out = r.render_persistent(spp=spp, interrupt=interrupt)
+    assert isinstance(out, tuple) and out[0] == "interrupted"
+    _, final_sum, pending, qpos = out
+    npix = r.width * r.height
+    assert 0 < qpos <= npix * spp
+    assert len(pending) > 0          # genuinely mid-flight
+
+    resumed = r.render_persistent(
+        spp=spp, resume={"final_sum": final_sum, "qpos": qpos,
+                         "pending": pending})
+    np.testing.assert_allclose(resumed, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_args_resume_value_not_scene(tmp_path):
+    from craytpu import args as cliargs
+    ckpt = tmp_path / "ckpt.npz"
+    ckpt.write_bytes(b"x")
+    scene = tmp_path / "scene.json"
+    scene.write_text("{}")
+    opts = cliargs.parse_args(["--resume", str(ckpt), str(scene)])
+    assert opts["inputFile"] == str(scene)
+    assert opts["resume"] == str(ckpt)
+    # --resume before (or without) the scene must not claim the ckpt file
+    opts = cliargs.parse_args(["--resume", str(ckpt)])
+    assert "inputFile" not in opts
