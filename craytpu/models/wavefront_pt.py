@@ -574,15 +574,18 @@ class WavefrontRenderer:
 
             def fpr(final, o, d, weight, s, alive, lane, lpass, pdepth,
                     delta, fo, fd, fs, flane, fpass, falive):
-                dead_delta = jnp.where(alive[..., None], f32(0.0), delta)
-                final = final.at[lane].add(dead_delta)
-                delta = jnp.where(alive[..., None], delta, f32(0.0))
                 order = jnp.argsort(key_fn(o, d, alive))
                 (o, d, weight, delta, s, alive, lane, lpass,
                  pdepth) = self._permute_pool(order, o, d, weight, delta,
                                               s, alive, lane, lpass, pdepth)
 
                 start = B - m * Q
+                # flush ONLY the dead lanes being overwritten by fresh
+                # rays (all tail slots are dead: n_alive <= B - m*Q).
+                # Other dead lanes keep riding with their delta until a
+                # later refill overwrites them (or the final flush) — a
+                # 4x smaller scatter-add than flushing the whole pool
+                final = final.at[lane[start:]].add(delta[start:])
 
                 def ins(a, f):
                     return jax.lax.dynamic_update_slice_in_dim(

@@ -48,8 +48,6 @@ f32 = jnp.float32
 i32 = jnp.int32
 FLT_MAX = 3.4028235e38
 
-MM_MODE = os.environ.get("CRAYTPU_MXU_PRECISION", "high")
-
 RAY_BLOCK = 256
 TRI_BLOCK = 256
 SB_BLOCKS = 8               # tri-blocks per superblock
@@ -59,29 +57,39 @@ PHI_DIM = 16                # 10 used: [d, o, d x o, 1]; padded for MXU
 _DN = (((0,), (0,)), ((), ()))  # contract dim 0 of both (lhs transposed)
 
 
-def _search_dot(Wb, phiT):
-    """Winner-search matmul: Wb (PHI, 4*TB) x phiT (PHI, RB) -> (4*TB, RB).
-    W is stored PHI-major so HBM DMA slices stay lane-aligned (the last
-    dim is 4*TB, a multiple of 128). bf16x3 (~f32 accurate) by default:
-    Mosaic has no HIGH precision and 1-pass bf16 corrupts closest-hit
-    selection."""
-    if MM_MODE == "highest":
-        return jax.lax.dot_general(Wb, phiT, _DN,
-                                   preferred_element_type=f32,
-                                   precision=jax.lax.Precision.HIGHEST)
-    DP = jax.lax.Precision.DEFAULT
-    if MM_MODE == "default":
-        return jax.lax.dot_general(Wb.astype(jnp.bfloat16),
-                                   phiT.astype(jnp.bfloat16), _DN,
-                                   preferred_element_type=f32, precision=DP)
-    W_hi = Wb.astype(jnp.bfloat16)
-    W_lo = (Wb - W_hi.astype(f32)).astype(jnp.bfloat16)
+def split_hi_lo(W: np.ndarray):
+    """f32 (NB, PHI, 4*TB) -> stacked bf16 (NB, 4*PHI, 4*TB) coefficient
+    blocks [W_hi; W_lo; W_hi; W_lo].
+
+    The winner search needs ~f32 accuracy (1-pass bf16 misclassifies u/v
+    near shared edges -> light leaks), but three separate K=16 bf16
+    matmuls (classic bf16x3) waste the MXU: its contraction pipeline is
+    128 deep, so K=16 runs at 1/8 throughput and each extra pass costs a
+    full matmul. Instead ALL double-bf16 cross terms ride ONE K=64
+    matmul: with rhs rows stacked [p_hi; p_hi; p_lo; p_lo], the single
+    product accumulates W_hi.p_hi + W_lo.p_hi + W_hi.p_lo + W_lo.p_lo =
+    (W_hi+W_lo).(p_hi+p_lo), i.e. a full bf16-pair product (~2^-27
+    relative, better than bf16x3) for the price of one pass.
+    """
+    import numpy as _np
+    Whi = W.astype(_np.float32).astype(jnp.bfloat16)
+    Wlo = (W - Whi.astype(_np.float32)).astype(jnp.bfloat16)
+    return _np.concatenate([Whi, Wlo, Whi, Wlo], axis=1)
+
+
+def _stack_phi(phiT):
+    """(PHI, RB) f32 -> (4*PHI, RB) bf16 [p_hi; p_hi; p_lo; p_lo]."""
     p_hi = phiT.astype(jnp.bfloat16)
     p_lo = (phiT - p_hi.astype(f32)).astype(jnp.bfloat16)
-    dg = lambda a, b: jax.lax.dot_general(a, b, _DN,
-                                          preferred_element_type=f32,
-                                          precision=DP)
-    return dg(W_hi, p_hi) + dg(W_lo, p_hi) + dg(W_hi, p_lo)
+    return jnp.concatenate([p_hi, p_hi, p_lo, p_lo], axis=0)
+
+
+def _search_dot(Wb_stack, phiS):
+    """Wb_stack (4*PHI, 4*TB) bf16 x phiS (4*PHI, RB) bf16 -> (4*TB, RB)
+    f32 in ONE MXU pass (see split_hi_lo)."""
+    return jax.lax.dot_general(Wb_stack, phiS, _DN,
+                               preferred_element_type=f32,
+                               precision=jax.lax.Precision.DEFAULT)
 
 
 def pack_rays_T(o, d):
@@ -103,9 +111,10 @@ def pack_limit(limit, nrb):
     return limit.reshape(nrb, 1, RAY_BLOCK)
 
 
-def _slab_rows(bb, oi, di, limit):
-    """Rows slab test: any ray whose bbox entry can still beat its best.
-    bb = 6 scalars (min,max per axis); oi/di = 3 (1,RB) rows each."""
+def _slab_rows2(bb, oi, di, limit):
+    """Rows slab test. bb = 6 scalars (min,max per axis); oi/di = 3
+    (1,RB) rows each. Returns (ok, entry_t) rows: ok = ray's bbox entry
+    can still beat its best; entry_t = clamped slab entry distance."""
     ok_near = jnp.full((1, RAY_BLOCK), -FLT_MAX, f32)
     ok_far = jnp.full((1, RAY_BLOCK), FLT_MAX, f32)
     for ax in range(3):
@@ -117,14 +126,19 @@ def _slab_rows(bb, oi, di, limit):
         t1 = (bb[2 * ax + 1] - oi[ax]) * inv
         ok_near = jnp.maximum(ok_near, jnp.minimum(t0, t1))
         ok_far = jnp.minimum(ok_far, jnp.maximum(t0, t1))
-    return (ok_near <= ok_far) & (ok_far >= f32(0.0)) & (ok_near < limit)
+    ok = (ok_near <= ok_far) & (ok_far >= f32(0.0)) & (ok_near < limit)
+    return ok, jnp.maximum(ok_near, f32(0.0))
+
+
+def _slab_rows(bb, oi, di, limit):
+    return _slab_rows2(bb, oi, di, limit)[0]
 
 
 def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
             rays_ref, limit_ref, W_hbm,
             t_ref, prim_ref, iid_ref,
-            wbuf, sems, sb_list,
-            *, n_mesh_inst, n_sph_inst, nsb_max):
+            wbuf, sems, sb_list, sb_keys, inst_list, inst_keys,
+            *, n_mesh_inst, n_sph_inst, nsb_max, resident):
     """One 256-ray block vs the whole scene.
 
     plan_ref:    (IM, 6) i32 SMEM [inst_id, blk_start, nblocks, sb_start,
@@ -167,8 +181,38 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
         oi_z = oi_z + di_z * off
         return (oi_x, oi_y, oi_z), (di_x, di_y, di_z)
 
-    def mesh_inst(im, carry):
+    # ---- phase 0: order surviving mesh instances near-first (by the
+    # closest slab entry over live lanes). Processing the nearest
+    # instance first tightens best_t for all lanes before farther
+    # instances are tested, so their roots/superblocks cull — the
+    # wavefront analogue of the reference's ordered BVH descent
+    # (bvh.c:391-439). ----
+    def p0(im, cnt):
+        iid = plan_ref[im, 0]
+        oi, di = transform(iid)
+        root_bb = [inst_ref[iid, 13 + c] for c in range(6)]
+        ok, near = _slab_rows2(root_bb, oi, di, best_t)
+        key = jnp.min(jnp.where(ok, near, f32(FLT_MAX)))
+        hit_any = jnp.any(ok)
+
+        @pl.when(hit_any)
+        def _():
+            def shift_cond(p):
+                return (p > 0) & (inst_keys[p - 1] > key)
+
+            def shift_body(p):
+                inst_keys[p] = inst_keys[p - 1]
+                inst_list[p] = inst_list[p - 1]
+                return p - 1
+
+            pos = jax.lax.while_loop(shift_cond, shift_body, cnt)
+            inst_keys[pos] = key
+            inst_list[pos] = im
+        return cnt + hit_any.astype(i32)
+
+    def mesh_inst(r, carry):
         bt, bp, bi = carry
+        im = inst_list[r]
         iid = plan_ref[im, 0]
         b0 = plan_ref[im, 1]
         nb = plan_ref[im, 2]
@@ -187,19 +231,33 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
             di[0], di[1], di[2], oi[0], oi[1], oi[2], w_x, w_y, w_z,
             jnp.ones((1, RAY_BLOCK), f32),
             jnp.zeros((PHI_DIM - 10, RAY_BLOCK), f32)], axis=0)
+        phiS = _stack_phi(phiT)
 
         def do_mesh(carry):
             bt0, bp0, bi0 = carry
 
-            # phase 1: compacted worklist of surviving superblocks
+            # phase 1: near-first compacted worklist of surviving
+            # superblocks (same ordering rationale as phase 0)
             def scan_sb(s, cnt):
                 bb = [sbbb_ref[sb0 + s, c] for c in range(6)]
-                ok = jnp.any(_slab_rows(bb, oi, di, bt0))
+                ok, near = _slab_rows2(bb, oi, di, bt0)
+                key = jnp.min(jnp.where(ok, near, f32(FLT_MAX)))
+                hit_any = jnp.any(ok)
 
-                @pl.when(ok)
+                @pl.when(hit_any)
                 def _():
-                    sb_list[cnt] = s
-                return cnt + ok.astype(i32)
+                    def shift_cond(p):
+                        return (p > 0) & (sb_keys[p - 1] > key)
+
+                    def shift_body(p):
+                        sb_keys[p] = sb_keys[p - 1]
+                        sb_list[p] = sb_list[p - 1]
+                        return p - 1
+
+                    pos = jax.lax.while_loop(shift_cond, shift_body, cnt)
+                    sb_keys[pos] = key
+                    sb_list[pos] = s
+                return cnt + hit_any.astype(i32)
 
             cnt = jax.lax.fori_loop(0, nsb, scan_sb, i32(0))
 
@@ -209,20 +267,22 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                     W_hbm.at[pl.ds(b0 + s * SB_BLOCKS, SB_BLOCKS)],
                     wbuf.at[slot], sems.at[slot])
 
-            @pl.when(cnt > 0)
-            def _():
-                get_dma(0, 0).start()
+            if not resident:
+                @pl.when(cnt > 0)
+                def _():
+                    get_dma(0, 0).start()
 
             # phase 2: double-buffered visit of surviving superblocks
             def sb_body(qi, carry):
                 bt, bp, bi = carry
                 slot = jax.lax.rem(qi, 2)
 
-                @pl.when(qi + 1 < cnt)
-                def _():
-                    get_dma(jax.lax.rem(qi + 1, 2), qi + 1).start()
+                if not resident:
+                    @pl.when(qi + 1 < cnt)
+                    def _():
+                        get_dma(jax.lax.rem(qi + 1, 2), qi + 1).start()
 
-                get_dma(slot, qi).wait()
+                    get_dma(slot, qi).wait()
                 s = sb_list[qi]
                 bstart = s * SB_BLOCKS
                 bc = jnp.minimum(nb - bstart, SB_BLOCKS)
@@ -235,8 +295,11 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
 
                     def do_blk(carry):
                         bt, bp, bi = carry
-                        Wb = wbuf[slot, bl]
-                        q3 = _search_dot(Wb, phiT)
+                        if resident:
+                            Wb = W_hbm[blk]
+                        else:
+                            Wb = wbuf[slot, bl]
+                        q3 = _search_dot(Wb, phiS)
                         det = q3[0 * TRI_BLOCK:1 * TRI_BLOCK]
                         ud = q3[1 * TRI_BLOCK:2 * TRI_BLOCK]
                         vd = q3[2 * TRI_BLOCK:3 * TRI_BLOCK]
@@ -278,8 +341,9 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                             (bt, bp, bi))
 
     if n_mesh_inst:
+        icnt = jax.lax.fori_loop(0, n_mesh_inst, p0, i32(0))
         best_t, best_p, best_i = jax.lax.fori_loop(
-            0, n_mesh_inst, mesh_inst, (best_t, best_p, best_i))
+            0, icnt, mesh_inst, (best_t, best_p, best_i))
 
     # ---- sphere instances: exact quadratic, <= tie acceptance AFTER
     # meshes (matches v1 sphere_pass order: sphere.c:20-50 via
@@ -314,12 +378,18 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
     iid_ref[0] = best_i
 
 
+# W smaller than this stays fully VMEM-resident (no per-superblock DMA);
+# larger scenes stream superblocks from HBM through a double buffer
+RESIDENT_BYTES = int(os.environ.get("CRAYTPU_W_RESIDENT_BYTES",
+                                    48 * 1024 * 1024))
+
+
 def build_flash2_fn(meta: dict):
     """flash2(rays_T, limit) -> (t, prim, inst), each (NRB, 1, RAY_BLOCK).
 
-    meta: dense_meta dict with W_pad (NB+SB, 4*TB, PHI) f32, bb (NB, 8),
-    sb_bb (NSB, 8), inst_rows (I, 24), mesh_plan (IM, 6) i32,
-    sph_plan (IS, 1) i32, nsb_max int.
+    meta: dense_meta dict with W_pad (NB+SB, 4*PHI, 4*TB) stacked bf16
+    (split_hi_lo), bb (NB, 8), sb_bb (NSB, 8), inst_rows (I, 24),
+    mesh_plan (IM, 6) i32, sph_plan (IS, 1) i32, nsb_max int.
     """
     W_pad = meta["W_pad"]
     bb = meta["bb"]
@@ -330,9 +400,23 @@ def build_flash2_fn(meta: dict):
     n_mesh_inst = int(mesh_plan.shape[0]) if meta["n_mesh_inst"] else 0
     n_sph_inst = int(sph_plan.shape[0]) if meta["n_sph_inst"] else 0
     nsb_max = max(int(meta["nsb_max"]), 1)
+    resident = int(W_pad.size) * 2 <= RESIDENT_BYTES
 
     kern = functools.partial(_kernel, n_mesh_inst=n_mesh_inst,
-                             n_sph_inst=n_sph_inst, nsb_max=nsb_max)
+                             n_sph_inst=n_sph_inst, nsb_max=nsb_max,
+                             resident=resident)
+    wspace = pltpu.VMEM if resident else pltpu.ANY
+    scratch = [
+        pltpu.VMEM((1 if resident else 2, SB_BLOCKS, 4 * PHI_DIM,
+                    4 * TRI_BLOCK), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SMEM((nsb_max,), i32),                  # sb worklist
+        pltpu.SMEM((nsb_max,), f32),                  # sb entry keys
+        pltpu.SMEM((max(n_mesh_inst, 1),), i32),      # instance order
+        pltpu.SMEM((max(n_mesh_inst, 1),), f32),      # instance keys
+    ]
+    vmem_limit = min(int(W_pad.size) * 2 + (32 << 20), 110 << 20) \
+        if resident else (48 << 20)
 
     def flash(rays_T, limit_T):
         nrb = rays_T.shape[0]
@@ -349,7 +433,7 @@ def build_flash2_fn(meta: dict):
                              memory_space=pltpu.VMEM),   # rays
                 pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),   # limit
-                pl.BlockSpec(memory_space=pltpu.ANY),    # W (HBM)
+                pl.BlockSpec(memory_space=wspace),       # W
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0),
@@ -364,13 +448,9 @@ def build_flash2_fn(meta: dict):
                 jax.ShapeDtypeStruct((nrb, 1, RAY_BLOCK), i32),
                 jax.ShapeDtypeStruct((nrb, 1, RAY_BLOCK), i32),
             ],
-            scratch_shapes=[
-                pltpu.VMEM((2, SB_BLOCKS, PHI_DIM, 4 * TRI_BLOCK), f32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SMEM((nsb_max,), i32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=vmem_limit),
         )(mesh_plan, sph_plan, inst_rows, bb, sb_bb, rays_T, limit_T,
           W_pad)
 

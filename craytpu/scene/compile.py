@@ -380,11 +380,14 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
         inst_kind, inst_obj, sph_mat)
 
     # PHI-major layout (NB, PHI, 4*TB): HBM DMA slices must keep the lane
-    # dim (last, multiple of 128) intact — see flash2._search_dot
+    # dim (last, multiple of 128) intact. Stored as stacked hi/lo bf16
+    # pairs so the winner search runs at ~f32 accuracy in ONE K=64 MXU
+    # pass — see flash2.split_hi_lo.
+    from craytpu.ops.flash2 import split_hi_lo
     W_all = (np.concatenate(WT_blocks) if WT_blocks
              else np.zeros((1, 16, 4 * 256), F))
-    W_pad = np.concatenate(
-        [W_all, np.zeros((SB_BLOCKS,) + W_all.shape[1:], F)])
+    W_pad = split_hi_lo(np.concatenate(
+        [W_all, np.zeros((SB_BLOCKS,) + W_all.shape[1:], F)]))
     dense_meta = {
         "mesh_W": mesh_W,
         "mesh_base": list(tri_base),

@@ -1,9 +1,8 @@
-"""Per-component timing of one wavefront bounce step on the TPU.
+"""Per-component timing of one wavefront bounce step on the TPU (flash2).
 
-Loads scene.json at 1080p, builds a 262k-ray batch of primaries, and times
-each stage of the step in isolation (jitted, donated where the real step
-donates): flash kernel, sphere pass, exact recompute, hit_info, shading,
-whole fused step, compaction. Prints a ms table.
+Builds a REALISTIC pool state (3 bounces, Morton-sorted, ~25% dead) at
+1080p scene.json and times each stage in isolation: pack, kernel, hitrec,
+shade, full fused step, flush-pack-refill. Prints a ms table.
 """
 
 import os
@@ -15,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, *args, n=20, warmup=3):
+def timeit(fn, *args, n=10, warmup=2):
     import jax
     for _ in range(warmup):
         out = fn(*args)
@@ -31,6 +30,8 @@ def main():
     from craytpu.scene.sceneloader import load_scene_from_file
     from craytpu.scene.compile import compile_scene
     from craytpu.models.wavefront_pt import WavefrontRenderer
+    from craytpu.ops import flash2 as fx2
+    from craytpu.ops.hitrec import make_hitrec_fn
     import jax
     import jax.numpy as jnp
 
@@ -38,126 +39,137 @@ def main():
                                  {"width": 1920, "height": 1080})
     cs = compile_scene(scene)
     r = WavefrontRenderer(cs)
-    print("platform:", jax.default_backend(), " traversal:",
-          r.traversal_mode, " tile_rays:", r.tile_rays, file=sys.stderr)
-
     B = r.tile_rays
+    print("platform:", jax.default_backend(), " traversal:",
+          r.traversal_mode, " B:", B, file=sys.stderr)
+
     xs, ys, flat, T, _, _ = r._pixel_schedule
     xs, ys = xs[:B], ys[:B]
-    o, d, s = r._init_rays(xs, ys, jnp.int32(0), jnp.int32(16))
+    o0, d0, s = r._init_rays(xs, ys, jnp.int32(0), jnp.int32(16))
+
+    # realistic state: 3 bounces then Morton sort (like the pool at refill)
+    step = r._make_step("dynamic")
+    stepj = jax.jit(lambda o, d, w, fin, st, alive: step(
+        cs.params, cs.geom, cs.shade, cs.mat_graph, o, d, w, fin, st,
+        alive, False))
+    w = jnp.ones((B, 4), jnp.float32)
+    fin = jnp.zeros((B, 4), jnp.float32)
+    alive = jnp.ones(B, bool)
+    o, d, st = o0, d0, s
+    for _ in range(3):
+        o, d, w, fin, st, alive = stepj(o, d, w, fin, st, alive)
+    key_fn = r._morton_key()
+    order = jnp.argsort(key_fn(o, d, alive))
+    o, d, w = o[order], d[order], w[order]
+    st = jax.tree.map(lambda x: x[order], st)
+    alive = alive[order]
     jax.block_until_ready(o)
+    n_alive = int(jnp.sum(alive))
+    print(f"state: {n_alive}/{B} alive, sorted", file=sys.stderr)
 
     rows = []
+    dm = cs.dense_meta
+    flash = fx2.build_flash2_fn(dm)
 
-    # --- full fused k-step (k=2, like the persistent path) ---
+    packj = jax.jit(lambda o, d: fx2.pack_rays_T(o, d))
+    rays_T = packj(o, d)
+    limj = jax.jit(lambda alive: fx2.pack_limit(
+        jnp.where(alive, jnp.float32(fx2.FLT_MAX), jnp.float32(0.0)),
+        rays_T.shape[0]))
+    limit_T = limj(alive)
+    rows.append(("pack_rays+limit", timeit(
+        jax.jit(lambda o, d, a: (fx2.pack_rays_T(o, d), limj(a))),
+        o, d, alive)))
+
+    kj = jax.jit(lambda rt, lt: flash(rt, lt))
+    rows.append(("flash2 kernel (sorted, 75% live)",
+                 timeit(kj, rays_T, limit_T)))
+    lim_all = limj(jnp.ones(B, bool))
+    rows.append(("flash2 kernel (sorted, all live)",
+                 timeit(kj, rays_T, lim_all)))
+
+    t, p, ii = kj(rays_T, limit_T)
+    hit = make_hitrec_fn(dm["tri_wide"], dm["inst_wide"], dm["sphere_uv"],
+                         False)
+    hj = jax.jit(lambda o, d, t, p, ii: hit(
+        cs.geom, o, d, t.reshape(-1)[:B], p.reshape(-1)[:B],
+        ii.reshape(-1)[:B]))
+    rows.append(("hitrec", timeit(hj, o, d, t, p, ii)))
+
+    isj = jax.jit(lambda o, d, a: r.isect(cs.geom, o, d, a))
+    rows.append(("isect total", timeit(isj, o, d, alive)))
+
+    # shading
+    from craytpu.ops import shading
+    from craytpu.ops import sampler as smp
+    is_hit, p_w, n_w, uv, mat_id, t_x = isj(o, d, alive)
+    K = cs.params.emission.shape[0]
+    oh = (np.asarray(mat_id)[:, None] == np.arange(K)).astype(np.float32)
+    rec = shading.HitRec(
+        incident=d, normal=n_w, uv=uv, hit_point=p_w, distance=t_x,
+        emission=jnp.asarray(oh) @ cs.params.emission,
+        ior=jnp.asarray(oh) @ cs.params.ior, mat_id=mat_id)
+    gid = cs.mat_graph[mat_id]
+    bsdf_fns = r.bsdf_fns
+
+    def shade_all(rec_in, st, gid):
+        Bq = gid.shape[0]
+        out = jnp.zeros((Bq, 3), jnp.float32)
+        col = jnp.zeros((Bq, 4), jnp.float32)
+        s_sel = st
+        for gi in range(len(bsdf_fns)):
+            m = gid == gi
+
+            def do(carry, _gi=gi, _m=m):
+                out, col, s_sel = carry
+                o_i, c_i, s_i = bsdf_fns[_gi](cs.params, rec_in, st)
+                return (jnp.where(_m[..., None], o_i, out),
+                        jnp.where(_m[..., None], c_i, col),
+                        smp.select_state(_m, s_i, s_sel))
+            out, col, s_sel = jax.lax.cond(jnp.any(m), do, lambda c: c,
+                                           (out, col, s_sel))
+        return out, col, s_sel
+    rows.append(("shade_all (%d graphs)" % len(bsdf_fns),
+                 timeit(jax.jit(shade_all), rec, st, gid)))
+
+    # full fused step (k=1 pool step)
+    ps = r._pool_step(1)
     lane = jnp.arange(B, dtype=jnp.int32)
-    weight = jnp.ones((B, 4), jnp.float32)
-    alive = jnp.ones(B, bool)
     pdepth = jnp.zeros(B, jnp.int32)
+    delta = jnp.zeros((B, 4), jnp.float32)
+
+    def full():
+        return ps(cs.params, cs.geom, cs.shade, cs.mat_graph,
+                  o + 0, d + 0, w + 0, jax.tree.map(lambda x: x + 0, st),
+                  alive.copy(), pdepth + 0, delta + 0)
+    rows.append(("pool_step k=1 (per bounce)", timeit(full)))
+
+    # flush_pack_refill
+    Q = B // 4
+    fpr = r._flush_pack_refill(B, 1, Q)
     npix = r.width * r.height
     final = jnp.zeros((npix, 4), jnp.float32)
+    fo, fd, fs = o[:Q], d[:Q], jax.tree.map(lambda x: x[:Q], st)
+    flane = jnp.arange(Q, dtype=jnp.int32)
+    fpass = jnp.zeros(Q, jnp.int32)
+    falive = jnp.ones(Q, bool)
+    lpass = jnp.zeros(B, jnp.int32)
 
-    def run_multi(k):
-        m = r._multi_step(k)
+    def fprf():
+        return fpr(final + 0, o + 0, d + 0, w + 0,
+                   jax.tree.map(lambda x: x + 0, st), alive.copy(),
+                   lane + 0, lpass + 0, pdepth + 0, delta + 0,
+                   fo, fd, fs, flane, fpass, falive)
+    rows.append(("flush_pack_refill (m=1)", timeit(fprf)))
 
-        def f(o, d, weight, s, alive, pdepth, final, lane):
-            return m(cs.params, cs.geom, cs.shade, cs.mat_graph,
-                     o, d, weight, s, alive, pdepth, final, lane)
-        # donation: pass copies
-        def g():
-            return f(o + 0, d + 0, weight + 0, jax.tree.map(lambda x: x + 0, s),
-                     alive.copy(), pdepth + 0, final + 0, lane)
-        return timeit(g, n=10)
-
-    rows.append(("multi_step k=1 (per bounce)", run_multi(1)))
-    rows.append(("multi_step k=2 (per 2 bounces)", run_multi(2)))
-
-    # --- traversal kernel alone ---
-    if r.traversal_mode == "flash":
-        from craytpu.ops import flash_isect as fx
-        from craytpu.ops import dense_isect as dx
-        dm = cs.dense_meta
-        flash = fx.build_flash_fn(dm["W_T"], dm["bb"], dm["inst_rows"],
-                                  dm["plan"])
-        rays_T = fx.pack_rays_T(o, d)
-        jax.block_until_ready(rays_T)
-        fj = jax.jit(lambda rt: flash(rt))
-        rows.append(("flash kernel", timeit(fj, rays_T)))
-
-        packj = jax.jit(lambda o, d: fx.pack_rays_T(o, d))
-        rows.append(("pack_rays_T", timeit(packj, o, d)))
-
-        t, p, ii = fj(rays_T)
-
-        def sphere_and_recompute(o, d, t, p, ii):
-            bt = t.reshape(-1)[:B]
-            bp = p.reshape(-1)[:B]
-            bi = ii.reshape(-1)[:B]
-            bt, bp, bi = dx.sphere_pass(cs.geom, o, d, dm["inst_order"],
-                                        bt, bp, bi)
-            return dx.exact_recompute(cs.geom, o, d, bt, bp, bi)
-        srj = jax.jit(sphere_and_recompute)
-        rows.append(("sphere_pass + exact_recompute",
-                     timeit(srj, o, d, t, p, ii)))
-
-        hit = srj(o, d, t, p, ii)
-        from craytpu.ops import traverse as trv
-        hij = jax.jit(lambda o, d, hit: trv.hit_info(cs.geom, cs.shade,
-                                                     o, d, hit))
-        rows.append(("hit_info", timeit(hij, o, d, hit)))
-
-        # whole traverse fn (kernel + spheres + recompute)
-        tj = jax.jit(lambda o, d: r.traverse(cs.geom, o, d))
-        rows.append(("traverse total", timeit(tj, o, d)))
-
-        # shading: build the same shade_all the step uses
-        is_hit, p_w, n_w, uv, mat_id = hij(o, d, hit)
-        from craytpu.ops import shading
-        rec = shading.HitRec(incident=d, normal=n_w, uv=uv, hit_point=p_w,
-                             distance=hit.t, emission=cs.params.emission[mat_id],
-                             ior=cs.params.ior[mat_id], mat_id=mat_id)
-        gid = cs.mat_graph[mat_id]
-        bsdf_fns = r.bsdf_fns
-
-        def shade_all(rec_in, st, gid):
-            import jax.numpy as jnp
-            from craytpu.ops import sampler as smp
-            Bq = gid.shape[0]
-            out = jnp.zeros((Bq, 3), jnp.float32)
-            col = jnp.zeros((Bq, 4), jnp.float32)
-            s_sel = st
-            for gi in range(len(bsdf_fns)):
-                m = gid == gi
-
-                def do(carry, _gi=gi, _m=m):
-                    out, col, s_sel = carry
-                    o_i, c_i, s_i = bsdf_fns[_gi](cs.params, rec_in, st)
-                    return (jnp.where(_m[..., None], o_i, out),
-                            jnp.where(_m[..., None], c_i, col),
-                            smp.select_state(_m, s_i, s_sel))
-                out, col, s_sel = jax.lax.cond(jnp.any(m), do,
-                                               lambda c: c, (out, col, s_sel))
-            return out, col, s_sel
-        shj = jax.jit(shade_all)
-        rows.append(("shade_all (%d graphs)" % len(bsdf_fns),
-                     timeit(shj, rec, s, gid)))
-
-    # --- compaction ---
-    if getattr(r, "_compact", None) is None:
-        _, r._compact = r._make_compact()
-        r._compact = jax.jit(r._compact, static_argnums=(7,))
-    cj = lambda: r._compact(o, d, weight, s, alive, lane, pdepth, B)
-    rows.append(("compact (sort+gather B->B)", timeit(cj)))
-
-    # --- init rays ---
-    rows.append(("init_rays",
-                 timeit(lambda: r._init_rays(xs, ys, jnp.int32(0),
-                                             jnp.int32(16)))))
+    rows.append(("init_rays (Q fresh)", timeit(
+        lambda: r._init_rays(xs[:Q], ys[:Q], jnp.int32(0),
+                             jnp.int32(16)))))
 
     print()
-    print(f"{'stage':40s} {'ms':>8s}")
+    print(f"{'stage':36s} {'ms':>8s}")
     for name, ms in rows:
-        print(f"{name:40s} {ms:8.2f}")
+        print(f"{name:36s} {ms:8.2f}")
 
 
 if __name__ == "__main__":
