@@ -171,13 +171,12 @@ class WavefrontRenderer:
         else:
             isect = self.isect
 
-        def shade_all(params, rec, st, gid):
-            """Evaluate every compiled graph on the wavefront and
+        def shade_chunk(params, rec, st, gid):
+            """Evaluate every compiled graph on a ray chunk and
             mask-select by graph id — the batched analogue of the per-hit
             node-DAG dispatch. (lax.switch would broadcast captured scene
             constants per lane under batching.) Each graph is wrapped in a
-            lax.cond on "any lane uses it": spatially sorted batches
-            cluster materials, so whole graphs skip for most batches."""
+            lax.cond on "any lane uses it"."""
             B = rec.distance.shape[0]
             out = jnp.zeros((B, 3), f32)
             col = jnp.zeros((B, 4), f32)
@@ -195,6 +194,31 @@ class WavefrontRenderer:
                 out, col, s_sel = jax.lax.cond(
                     jnp.any(m), do, lambda c: c, (out, col, s_sel))
             return out, col, s_sel
+
+        import os as _os
+        SHADE_CHUNK = int(_os.environ.get("CRAYTPU_SHADE_CHUNK", "65536"))
+
+        def shade_all(params, rec, st, gid):
+            """Material-segmented shading: the pool is Morton-sorted, so
+            materials cluster into spatial runs; evaluating in chunks lets
+            each chunk's any-lane conds skip whole graphs instead of
+            paying every graph over the full wavefront."""
+            B = rec.distance.shape[0]
+            if len(bsdf_fns) == 1 or B <= SHADE_CHUNK or B % SHADE_CHUNK:
+                return shade_chunk(params, rec, st, gid)
+            nch = B // SHADE_CHUNK
+
+            def resh(x):
+                return x.reshape((nch, SHADE_CHUNK) + x.shape[1:])
+
+            out, col, s2 = jax.lax.map(
+                lambda t: shade_chunk(params, *t),
+                (jax.tree.map(resh, rec), jax.tree.map(resh, st),
+                 resh(gid)))
+
+            def unresh(x):
+                return x.reshape((B,) + x.shape[2:])
+            return unresh(out), unresh(col), jax.tree.map(unresh, s2)
 
         def step(params, geom, shade, mat_graph, o, d, weight, final, s,
                  alive, rr_active=None):
@@ -676,7 +700,9 @@ class WavefrontRenderer:
         Q = B // 4                      # refill quantum
         cs = self.cscene
         import os
-        k = int(os.environ.get("CRAYTPU_POOL_K", "1"))
+        k_env = os.environ.get("CRAYTPU_POOL_K")
+        k = int(k_env) if k_env else 1
+        force_k = bool(k_env)   # explicit k disables the drain fusion
 
         total = npix * spp
         qpos = 0                        # queue position in [0, total)
@@ -727,12 +753,15 @@ class WavefrontRenderer:
         delta = jnp.zeros((B, 4), f32)
         stale_n = took                 # lagged upper bound on live lanes
         counts: list = []              # in-flight [count_array, adjust]
-        pool_step = self._pool_step(k)
         while True:
             Bc = alive.shape[0]
-            o, d, weight, s, alive, pdepth, delta, n_live = pool_step(
-                cs.params, cs.geom, cs.shade, cs.mat_graph,
-                o, d, weight, s, alive, pdepth, delta)
+            # drain phase: fuse more bounces per dispatch as the pool
+            # shrinks (dispatch+sync floor dwarfs compute at small sizes)
+            kc = k if (force_k or Bc > 32768) else (4 if Bc > 4096 else 8)
+            o, d, weight, s, alive, pdepth, delta, n_live = \
+                self._pool_step(kc)(
+                    cs.params, cs.geom, cs.shade, cs.mat_graph,
+                    o, d, weight, s, alive, pdepth, delta)
             try:
                 n_live.copy_to_host_async()
             except AttributeError:      # pragma: no cover - older jax
@@ -747,9 +776,12 @@ class WavefrontRenderer:
             if queue_left() > 0 and Bc == B and stale_n <= B - Q:
                 # fused flush+pack+refill on the LAGGED count: it only
                 # overestimates the live set, so the tail slots it clears
-                # are guaranteed dead — no blocking sync needed
-                m = min((B - stale_n) // Q, 4,
+                # are guaranteed dead — no blocking sync needed. m rounds
+                # down to a power of two to bound the compile-cache size.
+                m = min((B - stale_n) // Q, 8,
                         max((queue_left() + Q - 1) // Q, 1))
+                while m & (m - 1):
+                    m &= m - 1
                 if m >= 1:
                     if interrupt is not None and interrupt():
                         return self._persistent_interrupt(

@@ -39,12 +39,15 @@ def test_persistent_roundtrip(tmp_path):
     assert total == 8 and shape == (4, 6)
 
 
-def test_persistent_interrupt_resume_lossless():
+def test_persistent_interrupt_resume_lossless(monkeypatch):
     """Interrupt a persistent render mid-flight, checkpoint, resume: the
     final image must equal the uninterrupted render exactly (same paths
     traced once each; only float accumulation order may differ)."""
+    # k=1 keeps paths in flight at the first refill boundary (the fused
+    # drain steps would kill the whole tiny pool before any boundary)
+    monkeypatch.setenv("CRAYTPU_POOL_K", "1")
     scene = load_scene_from_file(SCENE)
-    r = WavefrontRenderer(compile_scene(scene), tile_rays=2048)
+    r = WavefrontRenderer(compile_scene(scene), tile_rays=8192)
     spp = 3
     ref = r.render_persistent(spp=spp)
 
@@ -52,7 +55,7 @@ def test_persistent_interrupt_resume_lossless():
 
     def interrupt():
         calls.append(1)
-        return len(calls) == 2  # stop at the second refill boundary
+        return True  # stop at the first refill boundary (paths in flight)
 
     out = r.render_persistent(spp=spp, interrupt=interrupt)
     assert isinstance(out, tuple) and out[0] == "interrupted"
