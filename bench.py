@@ -3,13 +3,19 @@
 Renders `input/scene.json` (the c-ray teapot scene, read from the read-only
 reference checkout) at 1920x1080 with the wavefront integrator and reports
 steady-state paths/s (one path = one per-pixel sample, the same unit as the
-reference's live Msamples/s counter, renderer.c:137-155).
+reference's live Msamples/s counter, renderer.c:137-155), plus the
+FORWARD+BACKWARD rate: value_and_grad of an image loss w.r.t. all material
+parameters through the differentiable fixed-depth trace (rematerialized
+scan), on one wavefront batch at the same scene/resolution/bounce budget.
 
 Baseline: the reference README's only published number — 1920x1080 @
 1000 spp in 26 min on an unspecified CPU ≈ 1.33 Mpaths/s
 (/root/reference/README.md:8-10, BASELINE.md). vs_baseline = ours / 1.33e6.
+(The reference has no backward pass; fwd_bwd has no baseline.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"fwd_bwd_paths_per_sec", "c_ref_this_host_paths_per_sec"}.
+Set BENCH_GRAD=0 to skip the gradient measurement.
 """
 
 from __future__ import annotations
@@ -26,8 +32,12 @@ FALLBACK_SCENE = os.path.join(REPO, "assets", "entry_scene.json")
 WIDTH = int(os.environ.get("BENCH_WIDTH", "1920"))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", "1080"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
-PASSES = int(os.environ.get("BENCH_PASSES", "4"))
+PASSES = int(os.environ.get("BENCH_PASSES", "8"))
+GRAD = os.environ.get("BENCH_GRAD", "1") != "0"
 BASELINE_PATHS_PER_S = 1.33e6
+# the compiled C reference on THIS host (2 visible cores): measured
+# 0.44 Mpaths/s at 1080p scene.json (BASELINE.md) — a second anchor
+C_REF_THIS_HOST = 0.44e6
 
 
 def main():
@@ -59,12 +69,42 @@ def main():
     out_dir = os.path.join(REPO, "output")
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "bench_frame.npy"), np.asarray(accum))
-    print(json.dumps({
+
+    # ---- forward+backward: value_and_grad of the image loss w.r.t. all
+    # material parameters through the fixed-depth differentiable trace
+    # (one full wavefront batch, same bounce budget, remat per bounce) ----
+    fwd_bwd_pps = None
+    if GRAD:
+        trace = r.make_trace_fn(remat=True)
+        B = r.tile_rays
+        xs, ys, _, _, _, _ = r._pixel_schedule
+        xs, ys = xs[:B], ys[:B]
+
+        def loss(params):
+            img = trace(params, xs, ys, jnp.int32(0), jnp.int32(PASSES))
+            return jnp.mean(img[..., :3])
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        v, g = vg(r.cscene.params)         # compile + warmup
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        reps = 2
+        for _ in range(reps):
+            v, g = vg(r.cscene.params)
+        jax.block_until_ready(g)
+        fwd_bwd_pps = B * reps / (time.perf_counter() - t0)
+
+    out = {
         "metric": "paths_per_sec_1080p_scene_json",
         "value": round(pps, 1),
         "unit": "paths/s",
         "vs_baseline": round(pps / BASELINE_PATHS_PER_S, 3),
-    }))
+        "c_ref_this_host_paths_per_sec": C_REF_THIS_HOST,
+        "vs_c_ref_this_host": round(pps / C_REF_THIS_HOST, 3),
+    }
+    if fwd_bwd_pps is not None:
+        out["fwd_bwd_paths_per_sec"] = round(fwd_bwd_pps, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

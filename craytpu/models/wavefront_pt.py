@@ -149,7 +149,7 @@ class WavefrontRenderer:
             return o, d, s
         return init_rays
 
-    def _make_step(self, rr_phase, diff: bool = False):
+    def _make_step(self, rr_phase, diff: bool = False, nee: bool = False):
         """Build one wavefront bounce step.
 
         rr_phase False/True bakes the Russian-roulette phase in statically
@@ -157,7 +157,9 @@ class WavefrontRenderer:
         makes the step take an extra traced `rr_active` bool so a lax.scan
         can run every depth through ONE compiled body (the differentiable /
         multi-chip path). diff=True builds the vertex-differentiable
-        variant (hit records recomputed from geom.tri_packed).
+        variant (hit records recomputed from geom.tri_packed). nee=True
+        adds next-event estimation (ops/nee.py): the step then takes and
+        returns an extra prev_nee (B,) flag.
         """
         kind = self.kind
         bg_fn = self.bg_fn
@@ -170,6 +172,10 @@ class WavefrontRenderer:
             isect = self._isect_diff_fn
         else:
             isect = self.isect
+        nee_fn = None
+        if nee:
+            from craytpu.ops.nee import make_nee_fn
+            nee_fn = make_nee_fn(self.cscene, kind, isect)
 
         def shade_chunk(params, rec, st, gid):
             """Evaluate every compiled graph on a ray chunk and
@@ -221,7 +227,7 @@ class WavefrontRenderer:
             return unresh(out), unresh(col), jax.tree.map(unresh, s2)
 
         def step(params, geom, shade, mat_graph, o, d, weight, final, s,
-                 alive, rr_active=None):
+                 alive, rr_active=None, prev_nee=None):
             # Detach the traversal inputs: the discrete BVH walk (a
             # lax.while_loop) must not sit on the reverse-AD path. Gradients
             # w.r.t. material params flow through the throughput/attenuation
@@ -254,9 +260,19 @@ class WavefrontRenderer:
                                  hit_point=p_w, distance=hit_t,
                                  emission=mat_emission, ior=mat_ior,
                                  mat_id=mat_id)
-            # hit: final += weight * legacy emission (pathtrace.c:44)
-            final = jnp.where(is_hit[..., None],
+            # hit: final += weight * legacy emission (pathtrace.c:44).
+            # With NEE on, hits following an NEE-handled diffuse vertex
+            # got their direct light from the shadow ray — suppress the
+            # BSDF-path emission so light is not counted twice.
+            emit_ok = is_hit if nee_fn is None else (is_hit & ~prev_nee)
+            final = jnp.where(emit_ok[..., None],
                               final + weight * mat_emission, final)
+
+            is_nee_v = None
+            if nee_fn is not None:
+                delta_nee, s, is_nee_v = nee_fn(params, geom, rec, s,
+                                                is_hit, weight)
+                final = final + delta_nee
 
             if K <= 64:
                 gid = (oh @ mat_graph.astype(f32)).astype(i32)
@@ -296,12 +312,15 @@ class WavefrontRenderer:
                                weight)
             o = jnp.where(survive[..., None], p_w, o)
             d = jnp.where(survive[..., None], out, d)
+            if nee_fn is not None:
+                return o, d, weight, final, s, survive, is_nee_v & survive
             return o, d, weight, final, s, survive
         return step
 
     # ------------------------------------------------------------------
     def make_trace_fn(self, depth: int | None = None,
-                      diff_geometry: bool = False):
+                      diff_geometry: bool = False,
+                      remat: bool = False, nee: bool = False):
         """Pure, jittable, differentiable fixed-depth trace.
 
         Returns trace(params, xs, ys, pass_idx, spp) -> (B, 4) radiance with
@@ -322,7 +341,7 @@ class WavefrontRenderer:
         kind = self.kind
         width = self.width
         cam_fn = self.cam_fn
-        step_dyn = self._make_step("dynamic", diff=diff_geometry)
+        step_dyn = self._make_step("dynamic", diff=diff_geometry, nee=nee)
         cs = self.cscene
         geom, shade, mat_graph = cs.geom, cs.shade, cs.mat_graph
         bg_fn = self.bg_fn
@@ -342,17 +361,33 @@ class WavefrontRenderer:
             final = jnp.zeros((B, 4), f32)
             alive = jnp.ones(B, bool)
 
-            def body(carry, k):
-                o, d, weight, final, s, alive = carry
-                o, d, weight, final, s, alive = step_dyn(
-                    params, g, shade, mat_graph, o, d, weight, final, s,
-                    alive, k >= 4)
-                return (o, d, weight, final, s, alive), None
+            if nee:
+                def body(carry, k):
+                    o, d, weight, final, s, alive, prev = carry
+                    o, d, weight, final, s, alive, prev = step_dyn(
+                        params, g, shade, mat_graph, o, d, weight, final,
+                        s, alive, k >= 4, prev)
+                    return (o, d, weight, final, s, alive, prev), None
+                init = (o, d, weight, final, s, alive,
+                        jnp.zeros(B, bool))
+            else:
+                def body(carry, k):
+                    o, d, weight, final, s, alive = carry
+                    o, d, weight, final, s, alive = step_dyn(
+                        params, g, shade, mat_graph, o, d, weight, final,
+                        s, alive, k >= 4)
+                    return (o, d, weight, final, s, alive), None
+                init = (o, d, weight, final, s, alive)
 
-            (o, d, weight, final, s, alive), _ = jax.lax.scan(
-                body, (o, d, weight, final, s, alive),
-                jnp.arange(depth, dtype=i32))
-            return final
+            if remat:
+                # rematerialize each bounce in the backward pass: the
+                # residuals of a deep scan (hit records, shading temps per
+                # bounce) would otherwise exhaust HBM at 1080p batch sizes
+                body = jax.checkpoint(body)
+
+            carry, _ = jax.lax.scan(body, init,
+                                    jnp.arange(depth, dtype=i32))
+            return carry[3]
 
         if diff_geometry:
             def trace_g(params, tri_packed, xs, ys, pass_idx, spp):
@@ -580,36 +615,68 @@ class WavefrontRenderer:
         return (F[:, 0:3], F[:, 3:6], F[:, 6:10], F[:, 10:14], s2,
                 I[:, 8].astype(bool), I[:, 5], I[:, 6], I[:, 7])
 
+    @property
+    def _sched_dev(self):
+        """Device-resident pixel schedule: (npix, 4) i32 rows
+        [x, y, flat_pixel_id, 0] in tile order (one wide gather serves a
+        whole refill quantum)."""
+        if getattr(self, "_sched_dev_arr", None) is None:
+            npix = self.width * self.height
+            xs, ys, _, _, _, _ = self._pixel_schedule
+            xs = np.asarray(xs[:npix], np.int32)
+            ys = np.asarray(ys[:npix], np.int32)
+            flat = (ys.astype(np.int64) * self.width + xs).astype(np.int32)
+            self._sched_dev_arr = jnp.asarray(
+                np.stack([xs, ys, flat, np.zeros(npix, np.int32)], axis=1))
+        return self._sched_dev_arr
+
     def _flush_pack_refill(self, B: int, m: int, Q: int):
         """One fused dispatch at a refill boundary:
-          1. scatter-add COMPLETED (dead) lanes' radiance deltas into the
-             framebuffer (live lanes keep their partial sums in delta so an
-             interrupt checkpoint can re-enqueue them without double
-             counting)
-          2. Morton/octant sort the pool (dead lanes last): spatially
+          1. Morton/octant sort the pool (dead lanes last): spatially
              coherent ray blocks keep the flash kernel's bbox culling
              effective on bounced rays (measured 95 -> 36 ms per step)
-          3. overwrite the tail m*Q slots with fresh primaries (the caller
-             guarantees n_alive <= B - m*Q via the lagged live count)
+          2. scatter-add the radiance deltas of ONLY the dead lanes being
+             overwritten by fresh rays (all tail slots are dead:
+             n_alive <= B - m*Q via the lagged live count). Live lanes
+             keep their partial sums so an interrupt checkpoint can
+             re-enqueue them without double counting; other dead lanes
+             ride until a later refill overwrites them.
+          3. generate m*Q fresh primaries ON DEVICE from the queue
+             position (pixel schedule gather + sampler init + camera
+             rays — no host round trip, no H2D transfer) and insert them
+             at the tail.
         """
         key = ("fpr", B, m, Q)
         if key not in self._multi_cache:
             key_fn = self._morton_key()
+            sched = self._sched_dev
+            npix = self.width * self.height
+            kind = self.kind
+            cam_fn = self.cam_fn
 
             def fpr(final, o, d, weight, s, alive, lane, lpass, pdepth,
-                    delta, fo, fd, fs, flane, fpass, falive):
+                    delta, qpix, qpass, take_n, spp):
                 order = jnp.argsort(key_fn(o, d, alive))
                 (o, d, weight, delta, s, alive, lane, lpass,
                  pdepth) = self._permute_pool(order, o, d, weight, delta,
                                               s, alive, lane, lpass, pdepth)
 
                 start = B - m * Q
-                # flush ONLY the dead lanes being overwritten by fresh
-                # rays (all tail slots are dead: n_alive <= B - m*Q).
-                # Other dead lanes keep riding with their delta until a
-                # later refill overwrites them (or the final flush) — a
-                # 4x smaller scatter-add than flushing the whole pool
                 final = final.at[lane[start:]].add(delta[start:])
+
+                # fresh primaries from the queue [qpos, qpos + m*Q)
+                i = jnp.arange(m * Q, dtype=i32)
+                px_i = qpix + i
+                fpass = qpass + px_i // npix
+                px = px_i % npix
+                rows = sched[px]                    # one wide gather
+                fxs, fys, flane = rows[:, 0], rows[:, 1], rows[:, 2]
+                pix_idx = flane.astype(u32)
+                fs = smp.init_sampler(kind, fpass,
+                                      jnp.broadcast_to(spp, (m * Q,)),
+                                      pix_idx)
+                fo, fd, fs = jax.vmap(cam_fn)(fxs, fys, fs)
+                falive = i < take_n
 
                 def ins(a, f):
                     return jax.lax.dynamic_update_slice_in_dim(
@@ -627,6 +694,41 @@ class WavefrontRenderer:
 
             self._multi_cache[key] = jax.jit(
                 fpr, donate_argnums=tuple(range(10)))
+        return self._multi_cache[key]
+
+    def _flush_pack_refill_host(self, B: int, m: int, Q: int):
+        """Like _flush_pack_refill but takes host-prepared fresh rays —
+        used only when resuming with re-enqueued pending paths (whose ids
+        are not a contiguous queue range)."""
+        key = ("fprh", B, m, Q)
+        if key not in self._multi_cache:
+            key_fn = self._morton_key()
+
+            def fprh(final, o, d, weight, s, alive, lane, lpass, pdepth,
+                     delta, fo, fd, fs, flane, fpass, falive):
+                order = jnp.argsort(key_fn(o, d, alive))
+                (o, d, weight, delta, s, alive, lane, lpass,
+                 pdepth) = self._permute_pool(order, o, d, weight, delta,
+                                              s, alive, lane, lpass, pdepth)
+                start = B - m * Q
+                final = final.at[lane[start:]].add(delta[start:])
+
+                def ins(a, f):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        a, f, start, axis=0)
+
+                o, d = ins(o, fo), ins(d, fd)
+                weight = ins(weight, jnp.ones((m * Q, 4), f32))
+                s = jax.tree.map(ins, s, fs)
+                lane, lpass = ins(lane, flane), ins(lpass, fpass)
+                pdepth = ins(pdepth, jnp.zeros(m * Q, i32))
+                alive = ins(alive, falive)
+                delta = ins(delta, jnp.zeros((m * Q, 4), f32))
+                return (final, o, d, weight, s, alive, lane, lpass,
+                        pdepth, delta)
+
+            self._multi_cache[key] = jax.jit(
+                fprh, donate_argnums=tuple(range(10)))
         return self._multi_cache[key]
 
     def _final_flush(self):
@@ -786,11 +888,29 @@ class WavefrontRenderer:
                     if interrupt is not None and interrupt():
                         return self._persistent_interrupt(
                             final, alive, lane, lpass, delta, npix, qpos)
-                    fo, fd, fs, flane, fpass, falive, took = take(m * Q)
-                    (final, o, d, weight, s, alive, lane, lpass, pdepth,
-                     delta) = self._flush_pack_refill(B, m, Q)(
-                        final, o, d, weight, s, alive, lane, lpass,
-                        pdepth, delta, fo, fd, fs, flane, fpass, falive)
+                    if pending:
+                        # resume path: non-contiguous re-enqueued ids go
+                        # through the host-side fresh-ray builder
+                        (fo, fd, fs, flane, fpass, falive,
+                         took) = take(m * Q)
+                        (final, o, d, weight, s, alive, lane, lpass,
+                         pdepth, delta) = self._flush_pack_refill_host(
+                            B, m, Q)(
+                            final, o, d, weight, s, alive, lane, lpass,
+                            pdepth, delta, fo, fd, fs, flane, fpass,
+                            falive)
+                    else:
+                        # device-side refill: fresh primaries generated
+                        # inside the same dispatch from the queue counter
+                        took = min(m * Q, total - qpos)
+                        (final, o, d, weight, s, alive, lane, lpass,
+                         pdepth, delta) = self._flush_pack_refill(
+                            B, m, Q)(
+                            final, o, d, weight, s, alive, lane, lpass,
+                            pdepth, delta, np.int32(qpos % npix),
+                            np.int32(qpos // npix), np.int32(took),
+                            i32(spp))
+                        qpos += took
                     # counts issued before this refill undercount by took
                     for e in counts:
                         e[1] += took

@@ -47,7 +47,9 @@ f32 = jnp.float32
 i32 = jnp.int32
 FLT_MAX = isx.FLT_MAX
 
-TRI_BLOCK = 256  # triangles per streamed block (lane-dim multiple of 128)
+import os as _os
+# triangles per streamed block (lane-dim multiple of 128)
+TRI_BLOCK = int(_os.environ.get("CRAYTPU_TRI_BLOCK", "256"))
 
 
 def build_tri_coeffs(tri_packed: np.ndarray) -> np.ndarray:

@@ -48,9 +48,9 @@ f32 = jnp.float32
 i32 = jnp.int32
 FLT_MAX = 3.4028235e38
 
-RAY_BLOCK = 256
-TRI_BLOCK = 256
-SB_BLOCKS = 8               # tri-blocks per superblock
+RAY_BLOCK = int(os.environ.get("CRAYTPU_RAY_BLOCK", "256"))
+from craytpu.ops.dense_isect import TRI_BLOCK  # noqa: E402
+SB_BLOCKS = int(os.environ.get("CRAYTPU_SB_BLOCKS", "8"))
 PHI_DIM = 16                # 10 used: [d, o, d x o, 1]; padded for MXU
 
 

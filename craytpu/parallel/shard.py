@@ -61,6 +61,12 @@ RAY_AXIS = "rays"
 SAMPLE_AXIS = "sample"
 
 
+# re-export: must be CALLED before any jax backend use; lives in the
+# import-light craytpu.parallel.dist so callers can initialize before
+# importing the rest of the package
+from craytpu.parallel.dist import init_distributed  # noqa: F401
+
+
 def make_mesh(n_devices: int | None = None, n_sample: int | None = None,
               devices=None) -> Mesh:
     """Build a (sample, rays) mesh over the available devices.

@@ -388,7 +388,112 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
              else np.zeros((1, 16, 4 * 256), F))
     W_pad = split_hi_lo(np.concatenate(
         [W_all, np.zeros((SB_BLOCKS,) + W_all.shape[1:], F)]))
+    # ---- NEE light table (north-star addition, ops/nee.py; the plain
+    # integrator never reads it). World-space emissive entities = anything
+    # whose LEGACY material emission is nonzero, matching exactly what
+    # pathtrace.c:44 adds along BSDF paths. ----
+    lt_kind, lt_mat, lt_p0, lt_e1, lt_e2, lt_n, lt_area = \
+        [], [], [], [], [], [], []
+    for i, inst in enumerate(scene.instances):
+        A4 = inst_A[i]
+        if inst.kind == INST_SPHERE:
+            m = sphere_mat_ids[inst.obj_index]
+            if np.any(emission[m][:3] != 0.0):
+                c = A4[:, 3]
+                rw = float(sph_radius[inst.obj_index]
+                           * np.linalg.norm(A4[:, 0]))
+                lt_kind.append(1)
+                lt_mat.append(m)
+                lt_p0.append(c)
+                lt_e1.append([rw, 0, 0])
+                lt_e2.append([0, 0, 0])
+                lt_n.append([0, 0, 1])
+                lt_area.append(4.0 * np.pi * rw * rw)
+        elif inst.kind == INST_MESH:
+            mi = inst.obj_index
+            n = scene.meshes[mi].tri_vidx.shape[0] if \
+                scene.meshes[mi].tri_vidx is not None else 0
+            if n == 0:
+                continue
+            t0 = tri_base[mi]
+            tm = tri_mat[t0:t0 + n]
+            em = np.any(emission[tm][:, :3] != 0.0, axis=1)
+            if not em.any():
+                continue
+            rows = tri_packed[t0:t0 + n][em]
+            v0 = rows[:, 0:3]
+            v1 = v0 - rows[:, 3:6]
+            v2 = rows[:, 6:9] + v0
+            R, T = A4[:, :3], A4[:, 3]
+            w0 = v0 @ R.T + T
+            w1 = v1 @ R.T + T
+            w2 = v2 @ R.T + T
+            e1w = w1 - w0
+            e2w = w2 - w0
+            cr = np.cross(e1w, e2w)
+            ar = 0.5 * np.linalg.norm(cr, axis=1)
+            nrm = cr / np.maximum(np.linalg.norm(cr, axis=1,
+                                                 keepdims=True), 1e-20)
+            for j in range(rows.shape[0]):
+                if ar[j] <= 0:
+                    continue
+                lt_kind.append(0)
+                lt_mat.append(int(tm[em][j]))
+                lt_p0.append(w0[j])
+                lt_e1.append(e1w[j])
+                lt_e2.append(e2w[j])
+                lt_n.append(nrm[j])
+                lt_area.append(float(ar[j]))
+    L = len(lt_kind)
+    lights = None
+    if L:
+        lights = {
+            "kind": jnp.asarray(np.asarray(lt_kind, I)),
+            "mat": jnp.asarray(np.asarray(lt_mat, I)),
+            "p0": jnp.asarray(np.asarray(lt_p0, F)),
+            "e1": jnp.asarray(np.asarray(lt_e1, F)),
+            "e2": jnp.asarray(np.asarray(lt_e2, F)),
+            "n": jnp.asarray(np.asarray(lt_n, F)),
+            "area": jnp.asarray(np.asarray(lt_area, F)),
+            "count": L,
+        }
+    # NEE-eligible materials: a plain diffuse lobe, or the loader's
+    # opaque alpha wrapper mix(transparent, diffuse, alpha(const a=1))
+    # (nodegraph.append_alpha / material.c:58-65). The transparent branch
+    # has probability 0 at a=1, so treating the material as pure diffuse
+    # for light sampling is exact.
+    def _nee_unwrap(ir):
+        if not isinstance(ir, tuple) or not ir:
+            return None, None
+        if ir[0] == "diffuse":
+            return ir[1], True
+        if (ir[0] == "mix" and len(ir) == 4 and isinstance(ir[1], tuple)
+                and ir[1] and ir[1][0] == "transparent"
+                and isinstance(ir[2], tuple) and ir[2]
+                and ir[2][0] == "diffuse"):
+            fac = ir[3]
+            opaque = (isinstance(fac, tuple) and len(fac) == 2
+                      and fac[0] == "alpha"
+                      and isinstance(fac[1], tuple)
+                      and fac[1][0] == "const_color"
+                      and float(fac[1][1][3]) == 1.0)
+            return ir[2][1], opaque
+        return None, None
+
+    mat_nee = np.zeros(max(len(materials), 1), bool)
+    for k, m in enumerate(materials):
+        _, opaque = _nee_unwrap(m.bsdf_ir)
+        mat_nee[k] = bool(opaque) and not np.any(emission[k][:3] != 0.0)
+    diffuse_color_ir = {}
+    for gi, g in enumerate(graphs):
+        cir, _ = _nee_unwrap(g)
+        if cir is not None:
+            diffuse_color_ir[gi] = cir
+
     dense_meta = {
+        "lights": lights,
+        "mat_nee": jnp.asarray(mat_nee),
+        "diffuse_color_ir": diffuse_color_ir,
         "mesh_W": mesh_W,
         "mesh_base": list(tri_base),
         "inst_order": inst_order,

@@ -144,27 +144,19 @@ def main():
                   alive.copy(), pdepth + 0, delta + 0)
     rows.append(("pool_step k=1 (per bounce)", timeit(full)))
 
-    # flush_pack_refill
+    # flush_pack_refill (device-side fresh-ray generation)
     Q = B // 4
     fpr = r._flush_pack_refill(B, 1, Q)
     npix = r.width * r.height
     final = jnp.zeros((npix, 4), jnp.float32)
-    fo, fd, fs = o[:Q], d[:Q], jax.tree.map(lambda x: x[:Q], st)
-    flane = jnp.arange(Q, dtype=jnp.int32)
-    fpass = jnp.zeros(Q, jnp.int32)
-    falive = jnp.ones(Q, bool)
     lpass = jnp.zeros(B, jnp.int32)
 
     def fprf():
         return fpr(final + 0, o + 0, d + 0, w + 0,
                    jax.tree.map(lambda x: x + 0, st), alive.copy(),
                    lane + 0, lpass + 0, pdepth + 0, delta + 0,
-                   fo, fd, fs, flane, fpass, falive)
-    rows.append(("flush_pack_refill (m=1)", timeit(fprf)))
-
-    rows.append(("init_rays (Q fresh)", timeit(
-        lambda: r._init_rays(xs[:Q], ys[:Q], jnp.int32(0),
-                             jnp.int32(16)))))
+                   np.int32(0), np.int32(0), np.int32(Q), jnp.int32(16))
+    rows.append(("flush_pack_refill+fresh (m=1)", timeit(fprf)))
 
     print()
     print(f"{'stage':36s} {'ms':>8s}")
