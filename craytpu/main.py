@@ -154,12 +154,22 @@ def main(argv: list[str] | None = None) -> int:
         if not clients:
             logging.warning("No network render workers, rendering locally")
 
+        worker_stats: dict = {}
+
         def tile_progress(done, total):
+            ws = "  ".join(f"{n.split(':')[0]}:{c}t/{a:.0f}ms"
+                           for n, (c, a) in sorted(worker_stats.items()))
             sys.stderr.write(f"\r[{int(done / total * 100):3d}%] "
-                             f"tile {done}/{total}")
+                             f"tile {done}/{total}  {ws}")
             sys.stderr.flush()
+
+        def on_stats(name, completed, avg_ms):
+            # per-worker progress from the ~1 Hz stats stream
+            # (server.c:240-244 analogue)
+            worker_stats[name] = (completed, avg_ms)
         fb = cluster.render_clustered(scene, r, clients, spp,
-                                      progress=tile_progress)
+                                      progress=tile_progress,
+                                      on_stats=on_stats)
         sys.stderr.write("\n")
         render_ms = (time.perf_counter() - t0) * 1e3
         logging.info("Finished render in %s", logging.smart_time(render_ms))

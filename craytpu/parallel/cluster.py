@@ -178,13 +178,29 @@ def serve_connection(conn: socket.socket) -> bool:
             tw, th = scene.prefs.tile_width, scene.prefs.tile_height
             tw = min(tw, renderer.width)
             th = min(th, renderer.height)
+            completed = 0
+            avg_ms = 0.0
+            last_stats = time.monotonic()
             while True:
+                # ~1 Hz in-band stats push (worker.c:259-272): completed
+                # tiles + average per-tile wall time; the master records
+                # it without replying
+                now = time.monotonic()
+                if now - last_stats >= 1.0:
+                    send_json(conn, {"action": "stats",
+                                     "completed": completed,
+                                     "avgPerPass": avg_ms})
+                    last_stats = now
                 send_json(conn, {"action": "getWork"})
                 work = read_json(conn)
                 if work is None or work.get("action") == "finish":
                     break
                 t = work["tile"]
+                t0 = time.monotonic()
                 buf = render_tile(renderer, t, spp, tw, th)
+                dt_ms = (time.monotonic() - t0) * 1e3
+                completed += 1
+                avg_ms += (dt_ms - avg_ms) / completed
                 send_json(conn, {
                     "action": "submitWork", "tile_idx": work["tile_idx"],
                     "data": base64.b64encode(
@@ -297,12 +313,14 @@ def sync_with_clients(nodes_list: str, scene_text: str, asset_path: str,
 
 
 def render_clustered(scene, renderer, clients, spp: int | None = None,
-                     render_local: bool = True, progress=None) -> np.ndarray:
+                     render_local: bool = True, progress=None,
+                     on_stats=None) -> np.ndarray:
     """renderFrame with networkRenderThreads (renderer.c:96-180).
 
     One serving thread per worker + (optionally) local rendering in this
     thread, all pulling from one TileQueue. Returns the (H, W, 4) float
-    framebuffer (linear, y-up)."""
+    framebuffer (linear, y-up). on_stats(worker_name, completed, avg_ms)
+    receives each worker's ~1 Hz stats push (server.c:240-244)."""
     from craytpu.runtime.tile import quantize_image
     p = scene.prefs
     spp = spp or p.sample_count
@@ -344,6 +362,10 @@ def render_clustered(scene, renderer, clients, spp: int | None = None,
                         base64.b64decode(msg["data"]), "<f4").reshape(
                             msg["shape"]).copy()
                     place(msg["tile_idx"], buf)
+                elif act == "stats":
+                    if on_stats is not None:
+                        on_stats(name, int(msg.get("completed", 0)),
+                                 float(msg.get("avgPerPass", 0.0)))
                 elif act == "goodbye":
                     return
         except (OSError, ValueError) as e:

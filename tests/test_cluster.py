@@ -101,6 +101,54 @@ def test_clustered_render_matches_local():
     np.testing.assert_allclose(fb, local, rtol=2e-6, atol=2e-7)
 
 
+def test_worker_killed_mid_render_frame_completes():
+    """Sever a worker's socket AFTER it claimed a tile (without submitting
+    it): the master must reclaim the tile, finish it locally, and produce
+    the bit-identical frame (tile.c:32-41 / TileQueue.reclaim). Also
+    exercises the ~1 Hz worker stats stream."""
+    scene_text = json.dumps(SCENE)
+    from craytpu.scene.sceneloader import load_scene_from_buf
+    from craytpu.scene.compile import compile_scene
+    from craytpu.models.wavefront_pt import WavefrontRenderer
+    import jax.numpy as jnp
+    scene = load_scene_from_buf(scene_text)
+    r = WavefrontRenderer(compile_scene(scene))
+    acc = jnp.zeros((24, 32, 4), jnp.float32)
+    for p in range(2):
+        acc = r.render_pass(acc, p, 2)
+    local = np.asarray(acc)
+
+    a, b = socket.socketpair()
+    claimed = []
+
+    def dying_worker(conn):
+        # scripted worker: pushes one stats message, claims ONE tile,
+        # then dies without submitting it
+        msg = cluster.read_json(conn)
+        assert msg["action"] == "startRender"
+        cluster.send_json(conn, {"action": "stats", "completed": 0,
+                                 "avgPerPass": 12.5})
+        cluster.send_json(conn, {"action": "getWork"})
+        work = cluster.read_json(conn)
+        assert work["action"] == "tile"
+        claimed.append(work["tile_idx"])
+        conn.close()                      # dies mid-tile
+
+    t = threading.Thread(target=dying_worker, args=(b,), daemon=True)
+    t.start()
+
+    stats = {}
+    fb = cluster.render_clustered(
+        scene, r, [(("deadhost", 1), a)], spp=2, render_local=True,
+        on_stats=lambda n, c, avg: stats.update({n: (c, avg)}))
+    t.join(timeout=30)
+    a.close()
+    assert claimed, "worker never claimed a tile"
+    assert stats.get("deadhost:1") == (0, 12.5)
+    # the frame is complete and identical despite the dead worker
+    np.testing.assert_allclose(fb, local, rtol=2e-6, atol=2e-7)
+
+
 def test_dead_worker_tiles_reclaimed():
     q = cluster.TileQueue([{"i": k} for k in range(4)])
     assert q.next_tile("w1") == 0

@@ -18,8 +18,15 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCENES = ["scene", "hdr", "refraction", "glowmetal", "uvsphere",
-          "alphanode", "fence", "venus", "statues"]
+          "alphanode", "fence", "venus", "statues",
+          "stress_highpoly", "stress_instances"]
 W, H, SPP = 80, 50, 4
+
+
+def scene_path(name):
+    if name.startswith("stress_"):
+        return os.path.join(REPO, "assets", f"{name}.json")
+    return f"/root/reference/input/{name}.json"
 
 # minimum fraction of subpixels within 1 8-bit LSB of the oracle; float
 # accumulation order differs (C: per-thread running mean), so exact match
@@ -54,8 +61,7 @@ def test_golden(name):
     from craytpu.models.wavefront_pt import WavefrontRenderer
 
     scene = load_scene_from_file(
-        f"/root/reference/input/{name}.json",
-        {"width": W, "height": H, "samples": SPP})
+        scene_path(name), {"width": W, "height": H, "samples": SPP})
     r = WavefrontRenderer(compile_scene(scene))
     fb = r.render(spp=SPP)
     ours = srgb_u8(np.asarray(fb))
