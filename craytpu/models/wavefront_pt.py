@@ -399,6 +399,34 @@ class WavefrontRenderer:
             return _trace(params, geom, xs, ys, pass_idx, spp)
         return trace
 
+    def trace_rays_fn(self, depth: int | None = None):
+        """trace_rays(params, o, d, s) -> (B, 4) radiance for explicit
+        rays + sampler states (no camera): used by the edge-gradient
+        boundary estimator's side evaluations (ops/edge_grad.py)."""
+        depth = depth if depth is not None else self.max_depth
+        step_dyn = self._make_step("dynamic")
+        cs = self.cscene
+        geom, shade, mat_graph = cs.geom, cs.shade, cs.mat_graph
+
+        def trace_rays(params, o, d, s):
+            B = o.shape[0]
+            weight = jnp.ones((B, 4), f32)
+            final = jnp.zeros((B, 4), f32)
+            alive = jnp.ones(B, bool)
+
+            def body(carry, k):
+                o, d, weight, final, s, alive = carry
+                o, d, weight, final, s, alive = step_dyn(
+                    params, geom, shade, mat_graph, o, d, weight, final,
+                    s, alive, k >= 4)
+                return (o, d, weight, final, s, alive), None
+
+            (o, d, weight, final, s, alive), _ = jax.lax.scan(
+                body, (o, d, weight, final, s, alive),
+                jnp.arange(depth, dtype=i32))
+            return final
+        return trace_rays
+
     def _make_compact(self):
         """Sort the wavefront by a spatial key (dead lanes last) and gather
         into Bn slots. Spatially sorted blocks make the flash kernel's
