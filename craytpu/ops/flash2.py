@@ -308,9 +308,15 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                         u = ud * inv
                         v = vd * inv
                         t = td * inv
-                        valid = ((u >= f32(0.0)) & (v >= f32(0.0))
-                                 & (u + v <= f32(1.0)) & (t >= f32(0.0))
-                                 & (t < bt))
+                        # (u>=0 & v>=0) as one min+cmp; (t>=0 & t<bt) as
+                        # ONE unsigned compare: non-negative f32 order
+                        # equals their uint order, negatives/NaN/inf get
+                        # the sign/exponent bits and fail
+                        valid = ((jnp.minimum(u, v) >= f32(0.0))
+                                 & (u + v <= f32(1.0))
+                                 & (t.view(jnp.uint32)
+                                    < jnp.broadcast_to(
+                                        bt, t.shape).view(jnp.uint32)))
                         t = jnp.where(valid, t, FLT_MAX)
                         tmin = jnp.min(t, axis=0, keepdims=True)
                         upd = tmin < bt

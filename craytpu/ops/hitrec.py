@@ -66,11 +66,22 @@ def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
     tri_wide = jnp.asarray(tri_wide)
     inst_wide = jnp.asarray(inst_wide)
 
+    n_inst = int(inst_wide.shape[0])
+
     def hitrec(geom, o_w, d_w, t_k, prim, inst):
         B = o_w.shape[0]
         is_hit = inst >= 0
         safe_inst = jnp.maximum(inst, 0)
-        iw = inst_wide[safe_inst]                       # (B, 28)
+        if n_inst <= 64:
+            # one-hot matmul instead of a per-lane gather: the instance
+            # table is tiny and narrow gathers run far below stream
+            # bandwidth on TPU
+            oh = (safe_inst[:, None]
+                  == jnp.arange(n_inst, dtype=inst.dtype)[None, :]
+                  ).astype(f32)
+            iw = oh @ inst_wide                        # (B, 28)
+        else:
+            iw = inst_wide[safe_inst]                  # (B, 28)
         A = iw[:, 0:12].reshape(-1, 3, 4)
         Ainv = iw[:, 12:24].reshape(-1, 3, 4)
         off = iw[:, 24]
