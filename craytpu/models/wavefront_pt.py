@@ -897,6 +897,10 @@ class WavefrontRenderer:
             except AttributeError:      # pragma: no cover - older jax
                 pass
             counts.append([n_live, 0])
+            # lag-1 count consumption: pop the step-(i-1) count while the
+            # device runs step i. (Polling is_ready() instead measurably
+            # SLOWED the render on this host — the readiness query itself
+            # round-trips the device tunnel.)
             if len(counts) >= 2:
                 arr, adj = counts.pop(0)
                 stale_n = int(arr) + adj

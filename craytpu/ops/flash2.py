@@ -137,7 +137,7 @@ def _slab_rows(bb, oi, di, limit):
 def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
             rays_ref, limit_ref, W_hbm,
             t_ref, prim_ref, iid_ref,
-            wbuf, sems, sb_list, sb_keys, inst_list, inst_keys,
+            wbuf, sems, sb_list, sb_keys, inst_list, inst_keys, dbg,
             *, n_mesh_inst, n_sph_inst, nsb_max, resident):
     """One 256-ray block vs the whole scene.
 
@@ -164,6 +164,12 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
     best_t = limit_ref[0]
     best_p = jnp.full((1, RAY_BLOCK), -1, i32)
     best_i = jnp.full((1, RAY_BLOCK), -1, i32)
+    # profiling counters (scripts/profile_visits.py); statically compiled
+    # out unless CRAYTPU_FLASH_DEBUG is set
+    DEBUG = bool(os.environ.get("CRAYTPU_FLASH_DEBUG"))
+    if DEBUG:
+        dbg[0] = i32(0)
+        dbg[1] = i32(0)
 
     lane0 = jax.lax.broadcasted_iota(i32, (TRI_BLOCK, RAY_BLOCK), 0)
 
@@ -246,6 +252,9 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
 
                 @pl.when(hit_any)
                 def _():
+                    if DEBUG:
+                        dbg[1] = dbg[1] + 1
+
                     def shift_cond(p):
                         return (p > 0) & (sb_keys[p - 1] > key)
 
@@ -292,6 +301,11 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                     blk = b0 + bstart + bl
                     bbv = [bb_ref[blk, c] for c in range(6)]
                     blk_ok = _slab_rows(bbv, oi, di, bt)
+
+                    if DEBUG:
+                        @pl.when(jnp.any(blk_ok))
+                        def _():
+                            dbg[0] = dbg[0] + 1
 
                     def do_blk(carry):
                         bt, bp, bi = carry
@@ -379,6 +393,11 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
         best_t, best_p, best_i = jax.lax.fori_loop(
             0, n_sph_inst, sph_inst, (best_t, best_p, best_i))
 
+    if DEBUG:
+        # replace prim with diagnostic counters per ray block:
+        # lane 0 = MXU block visits, lane 1 = superblock worklist entries
+        lane_i = jax.lax.broadcasted_iota(i32, (1, RAY_BLOCK), 1)
+        best_p = jnp.where(lane_i == 1, dbg[1], dbg[0])
     t_ref[0] = best_t
     prim_ref[0] = best_p
     iid_ref[0] = best_i
@@ -420,6 +439,7 @@ def build_flash2_fn(meta: dict):
         pltpu.SMEM((nsb_max,), f32),                  # sb entry keys
         pltpu.SMEM((max(n_mesh_inst, 1),), i32),      # instance order
         pltpu.SMEM((max(n_mesh_inst, 1),), f32),      # instance keys
+        pltpu.SMEM((2,), i32),                        # debug counters
     ]
     vmem_limit = min(int(W_pad.size) * 2 + (32 << 20), 110 << 20) \
         if resident else (48 << 20)
