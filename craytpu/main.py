@@ -36,6 +36,48 @@ def _status(pass_done: int, spp: int, t_start: float, width: int,
         sys.stderr.write("\n")
 
 
+class _KeyPoller:
+    """Non-blocking single-key reads from a TTY (the headless analogue of
+    the reference's SDL key handler, ui.c:190-233: S=abort+save, X=abort,
+    P=pause). No-ops when stdin is not an interactive terminal."""
+
+    def __init__(self):
+        self.enabled = False
+        self._old = None
+
+    def __enter__(self):
+        try:
+            import termios
+            import tty
+            if sys.stdin.isatty():
+                self._fd = sys.stdin.fileno()
+                self._old = termios.tcgetattr(self._fd)
+                tty.setcbreak(self._fd)
+                self.enabled = True
+        except Exception:
+            self.enabled = False
+        return self
+
+    def __exit__(self, *exc):
+        if self._old is not None:
+            import termios
+            termios.tcsetattr(self._fd, termios.TCSADRAIN, self._old)
+
+    def poll(self) -> str | None:
+        if not self.enabled:
+            return None
+        import select
+        r, _, _ = select.select([sys.stdin], [], [], 0)
+        if r:
+            return sys.stdin.read(1).lower()
+        return None
+
+    def wait_key(self) -> str:
+        import select
+        select.select([sys.stdin], [], [])
+        return sys.stdin.read(1).lower()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     opts = cliargs.parse_args(argv)
@@ -205,15 +247,29 @@ def main(argv: list[str] | None = None) -> int:
                              f"{done // 1000}k/{total // 1000}k paths")
             sys.stderr.flush()
 
-        # SIGINT on the fast path: checkpoint at the next refill boundary
-        # (losslessly: completed lanes' radiance + in-flight queue ids)
+        # SIGINT or the X/S keys on the fast path: checkpoint at the next
+        # refill boundary (losslessly: completed lanes' radiance +
+        # in-flight queue ids). P pauses (ui.c:190-233 analogue).
         want_stop = []
         prev_handler = signal.signal(
             signal.SIGINT, lambda *_: want_stop.append(True))
+        keys = _KeyPoller()
+
+        def interrupt():
+            k = keys.poll()
+            if k == "p":
+                sys.stderr.write("\n[paused — any key resumes]")
+                sys.stderr.flush()
+                keys.wait_key()
+            elif k in ("x", "s"):
+                want_stop.append(True)
+            return bool(want_stop)
+
         try:
-            out = r.render_persistent(spp=spp, progress=ray_progress,
-                                      resume=persist_resume,
-                                      interrupt=lambda: bool(want_stop))
+            with keys:
+                out = r.render_persistent(spp=spp, progress=ray_progress,
+                                          resume=persist_resume,
+                                          interrupt=interrupt)
         finally:
             signal.signal(signal.SIGINT, prev_handler)
         sys.stderr.write("\n")
@@ -231,15 +287,29 @@ def main(argv: list[str] | None = None) -> int:
         try:
             prev_accum = accum
             p = start_pass
-            for p in range(start_pass, spp):
-                prev_accum = accum  # pre-update buffer for safe checkpoint
-                accum = r.render_pass(accum, p, spp)
-                accum.block_until_ready()
-                _status(p + 1, spp, t0, r.width, r.height)
-                if preview_every and (p + 1) % int(preview_every) == 0:
-                    from craytpu.io.png import write_png
-                    write_png(preview_path, np.asarray(accum),
-                              {"Samples per pixel": str(p + 1)})
+            with _KeyPoller() as keys:
+                for p in range(start_pass, spp):
+                    prev_accum = accum  # pre-update buffer for checkpoint
+                    accum = r.render_pass(accum, p, spp)
+                    accum.block_until_ready()
+                    _status(p + 1, spp, t0, r.width, r.height)
+                    if preview_every and (p + 1) % int(preview_every) == 0:
+                        from craytpu.io.png import write_png
+                        write_png(preview_path, np.asarray(accum),
+                                  {"Samples per pixel": str(p + 1)})
+                    # S=abort+save partial, X=abort(checkpoint), P=pause
+                    # (ui.c:190-233)
+                    k = keys.poll()
+                    if k == "p":
+                        sys.stderr.write("\n[paused — any key resumes]")
+                        sys.stderr.flush()
+                        keys.wait_key()
+                    elif k == "s":
+                        logging.info("Aborting render, saving partial "
+                                     "result (%d/%d passes)", p + 1, spp)
+                        break
+                    elif k == "x":
+                        raise KeyboardInterrupt
         except KeyboardInterrupt:
             interrupted = True
             # SIGINT may land after accum was reassigned for pass p but

@@ -65,9 +65,11 @@ class WavefrontRenderer:
         # each TPU step short (the watchdog kills long-running steps) and
         # bounds live-ray memory. One compile serves all batches.
         npix = self.width * self.height
+        default_rays = 1 << 20 if jax.default_backend() != "cpu" \
+            else 1 << 18
         self.tile_rays = int(tile_rays or
                              os.environ.get("CRAYTPU_TILE_RAYS", 0) or
-                             min(1 << 18, _next_pow2(npix)))
+                             min(default_rays, _next_pow2(npix)))
         self.cam_fn = cscene.camera_fn(kind)
         self.bg_fn = cscene.background_fn()
         self.bsdf_fns = cscene.bsdf_fns(kind)
@@ -256,8 +258,16 @@ class WavefrontRenderer:
             else:
                 mat_emission = params.emission[mat_id]
                 mat_ior = params.ior[mat_id]
-            rec = shading.HitRec(incident=d, normal=n_w, uv=uv,
-                                 hit_point=p_w, distance=hit_t,
+            # sanitize non-hit lanes: their hit data is garbage (t=FLT_MAX
+            # -> inf positions), and any NaN intermediate poisons reverse-
+            # mode AD even under where-masking (0 * NaN = NaN in the VJP)
+            ih = is_hit[..., None]
+            n_safe = jnp.where(ih, n_w, jnp.array([0.0, 0.0, 1.0], f32))
+            p_safe = jnp.where(ih, p_w, f32(0.0))
+            uv_safe = jnp.where(ih, uv, f32(0.0))
+            t_safe = jnp.where(is_hit, hit_t, f32(1.0))
+            rec = shading.HitRec(incident=d, normal=n_safe, uv=uv_safe,
+                                 hit_point=p_safe, distance=t_safe,
                                  emission=mat_emission, ior=mat_ior,
                                  mat_id=mat_id)
             # hit: final += weight * legacy emission (pathtrace.c:44).
@@ -278,6 +288,9 @@ class WavefrontRenderer:
                 gid = (oh @ mat_graph.astype(f32)).astype(i32)
             else:
                 gid = mat_graph[mat_id]
+            # dead/missed lanes match NO graph: with the Morton-sorted
+            # pool they cluster, so whole shade chunks skip every program
+            gid = jnp.where(is_hit, gid, -1)
             out, attenuation, s2 = shade_all(params, rec, s, gid)
             s = smp.select_state(is_hit, s2, s)
 
@@ -308,7 +321,8 @@ class WavefrontRenderer:
 
             survive = is_hit & ~rr_break
             weight = jnp.where(survive[..., None],
-                               attenuation * weight / prob[..., None],
+                               attenuation * weight
+                               / jnp.maximum(prob, f32(1e-30))[..., None],
                                weight)
             o = jnp.where(survive[..., None], p_w, o)
             d = jnp.where(survive[..., None], out, d)
