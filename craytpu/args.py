@@ -141,6 +141,12 @@ def parse_args(argv: list[str]) -> dict:
         elif a == "--resume":
             if nxt:
                 opts["resume"] = nxt
+        elif a == "--trace":
+            # capture a jax.profiler trace of the render (tensorboard/
+            # perfetto format) — the TPU analogue of the reference's
+            # wall-clock-only profiling (SURVEY.md §5)
+            opts["trace_dir"] = (nxt if nxt and not nxt.startswith("-")
+                                 else "output/trace")
         elif a == "--preview":
             opts["preview"] = True
             if nxt and not nxt.startswith("-"):

@@ -236,6 +236,16 @@ def main(argv: list[str] | None = None) -> int:
     progressive = bool(preview_every or opts.get("interactive")
                        or start_pass)
 
+    # --trace DIR: jax.profiler device trace of the whole render — the
+    # TPU-native upgrade over the reference's wall-clock-only profiling
+    # (SURVEY.md §5); view with tensorboard/perfetto
+    trace_dir = opts.get("trace_dir")
+    if trace_dir:
+        import jax
+        os.makedirs(trace_dir, exist_ok=True)
+        jax.profiler.start_trace(trace_dir)
+        logging.info("Capturing device trace to %s", trace_dir)
+
     t0 = time.perf_counter()
     interrupted = False
     if not progressive:
@@ -326,6 +336,10 @@ def main(argv: list[str] | None = None) -> int:
             accum = prev_accum
 
     render_ms = (time.perf_counter() - t0) * 1e3
+    if trace_dir:
+        import jax
+        jax.profiler.stop_trace()
+        logging.info("Wrote device trace to %s", trace_dir)
     logging.info("Finished render in %s", logging.smart_time(render_ms))
 
     # ---- write image (main.c:30, c-ray.c:85-111) ----
