@@ -360,10 +360,16 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
         return jax.lax.cond(jnp.any(root_ok), do_mesh, lambda c: c,
                             (bt, bp, bi))
 
-    if n_mesh_inst:
+    def run_mesh(carry):
         icnt = jax.lax.fori_loop(0, n_mesh_inst, p0, i32(0))
-        best_t, best_p, best_i = jax.lax.fori_loop(
-            0, icnt, mesh_inst, (best_t, best_p, best_i))
+        return jax.lax.fori_loop(0, icnt, mesh_inst, carry)
+
+    if n_mesh_inst:
+        # ALL-dead ray blocks (limit 0 everywhere — the sorted pool packs
+        # dead lanes into whole blocks) skip the entire instance scan
+        best_t, best_p, best_i = jax.lax.cond(
+            jnp.any(best_t > f32(0.0)), run_mesh, lambda c: c,
+            (best_t, best_p, best_i))
 
     # ---- sphere instances: exact quadratic, <= tie acceptance AFTER
     # meshes (matches v1 sphere_pass order: sphere.c:20-50 via
@@ -390,8 +396,10 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
         return bt, bp, bi
 
     if n_sph_inst:
-        best_t, best_p, best_i = jax.lax.fori_loop(
-            0, n_sph_inst, sph_inst, (best_t, best_p, best_i))
+        best_t, best_p, best_i = jax.lax.cond(
+            jnp.any(best_t > f32(0.0)),
+            lambda c: jax.lax.fori_loop(0, n_sph_inst, sph_inst, c),
+            lambda c: c, (best_t, best_p, best_i))
 
     if DEBUG:
         # replace prim with diagnostic counters per ray block:
