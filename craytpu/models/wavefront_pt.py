@@ -630,12 +630,16 @@ class WavefrontRenderer:
             x = (x | (x << 2)) & 0x9249249
             return x
 
+        import os as _os
+        pos_major = _os.environ.get("CRAYTPU_SORT_KEY", "octant") == "pos"
+
         def key_fn(o, d, alive):
             q = jnp.clip(((o - lo) * inv_ext), 0.0, 127.0).astype(u32)
             octant = ((d[:, 0] < 0) + 2 * (d[:, 1] < 0)
                       + 4 * (d[:, 2] < 0)).astype(u32)
-            key = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
-                   | (spread3(q[:, 2]) << 2)) | (octant << 21)
+            m = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                 | (spread3(q[:, 2]) << 2))
+            key = (m << 3) | octant if pos_major else m | (octant << 21)
             return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
         return key_fn
 
