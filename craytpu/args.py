@@ -51,7 +51,23 @@ def get_sys_cores() -> int:
     return os.cpu_count() or 1
 
 
-_VALUE_FLAGS = ("--resume", "--suite", "--nodes", "-s", "-d", "-t", "-j")
+# flags whose next token is always a value, never the positional scene
+# input (`--trace out` must not make the trace directory become the scene
+# JSON even if a path of that name exists — the misparse class fixed for
+# --resume)
+_VALUE_FLAGS = ("--resume", "--suite", "--nodes", "--trace",
+                "-s", "-d", "-t", "-j")
+# flags that consume the next token only when it is an integer
+# (`--preview 4` vs `--preview scene.json`)
+_OPT_INT_FLAGS = ("--preview", "--worker", "--test")
+
+
+def _is_int(tok: str | None) -> bool:
+    try:
+        int(tok)
+        return True
+    except (TypeError, ValueError):
+        return False
 
 
 def parse_args(argv: list[str]) -> dict:
@@ -64,7 +80,8 @@ def parse_args(argv: list[str]) -> dict:
         # a token that is the VALUE of a value-taking flag is never the
         # positional scene input (`--resume ckpt.npz` must not make the
         # checkpoint file the scene JSON)
-        is_flag_value = prev in _VALUE_FLAGS
+        is_flag_value = (prev in _VALUE_FLAGS
+                         or (prev in _OPT_INT_FLAGS and _is_int(a)))
         if not input_file_set and not is_flag_value and os.path.isfile(a):
             opts["inputFile"] = a
             input_file_set = True

@@ -87,15 +87,35 @@ class WavefrontRenderer:
         self._isect_diff_fn = None
         self.traversal_mode = mode
 
+        from craytpu.utils.jaxsetup import maybe_enable_debug
+        self._debug = maybe_enable_debug()
         self._init_rays = jax.jit(self._make_init_rays())
         # two variants: pre-RR (depth < 4) and RR (depth >= 4)
-        self._step_pre = jax.jit(self._make_step(False),
-                                 donate_argnums=(4, 5, 6, 7, 8, 9))
-        self._step_rr = jax.jit(self._make_step(True),
-                                donate_argnums=(4, 5, 6, 7, 8, 9))
+        self._step_pre = self._jit(self._make_step(False, checks=True),
+                                   donate_argnums=(4, 5, 6, 7, 8, 9))
+        self._step_rr = self._jit(self._make_step(True, checks=True),
+                                  donate_argnums=(4, 5, 6, 7, 8, 9))
         self._bg_only = jax.jit(
             lambda params, d: self.bg_fn(params, d))
         self._multi_cache = {}
+
+    def _jit(self, fn, donate_argnums=()):
+        """jax.jit, or — under CRAYTPU_DEBUG — checkify+jit: index checks
+        plus the step's explicit invariant checks become raised, located
+        errors (the sanitizer-build analogue, CMakeLists.txt:44-55).
+        Donation is disabled in debug mode (checkify may replay)."""
+        if not self._debug:
+            return jax.jit(fn, donate_argnums=donate_argnums)
+        from jax.experimental import checkify
+        checked = checkify.checkify(
+            fn, errors=checkify.index_checks | checkify.user_checks)
+        jf = jax.jit(checked)
+
+        def wrapper(*args):
+            err, out = jf(*args)
+            checkify.check_error(err)
+            return out
+        return wrapper
 
     def _multi_step(self, k: int):
         """k fused bounces in ONE device dispatch (lax.scan over the
@@ -103,7 +123,7 @@ class WavefrontRenderer:
         round trip (~70 ms over the tunnel) per bounce for a handful of
         live rays."""
         if k not in self._multi_cache:
-            step_dyn = self._make_step("dynamic")
+            step_dyn = self._make_step("dynamic", checks=True)
 
             def multi(params, geom, shade, mat_graph, o, d, weight, s,
                       alive, pdepth, final_full, lane):
@@ -132,7 +152,7 @@ class WavefrontRenderer:
                 return (o, d, weight, s, alive, pdepth, final_full,
                         jnp.sum(alive, dtype=i32))
 
-            self._multi_cache[k] = jax.jit(
+            self._multi_cache[k] = self._jit(
                 multi, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
         return self._multi_cache[k]
 
@@ -151,7 +171,8 @@ class WavefrontRenderer:
             return o, d, s
         return init_rays
 
-    def _make_step(self, rr_phase, diff: bool = False, nee: bool = False):
+    def _make_step(self, rr_phase, diff: bool = False, nee: bool = False,
+                   checks: bool = False):
         """Build one wavefront bounce step.
 
         rr_phase False/True bakes the Russian-roulette phase in statically
@@ -175,9 +196,15 @@ class WavefrontRenderer:
         else:
             isect = self.isect
         nee_fn = None
+        lights_mat_mask = None
         if nee:
             from craytpu.ops.nee import make_nee_fn
             nee_fn = make_nee_fn(self.cscene, kind, isect)
+            if nee_fn is not None:
+                # suppression applies only to emitters the light table can
+                # sample; table-excluded emitters (e.g. non-uniformly
+                # scaled spheres) keep their BSDF-path emission
+                lights_mat_mask = self.cscene.dense_meta["lights_mat_mask"]
 
         def shade_chunk(params, rec, st, gid):
             """Evaluate every compiled graph on a ray chunk and
@@ -279,7 +306,14 @@ class WavefrontRenderer:
             # With NEE on, hits following an NEE-handled diffuse vertex
             # got their direct light from the shadow ray — suppress the
             # BSDF-path emission so light is not counted twice.
-            emit_ok = is_hit if nee_fn is None else (is_hit & ~prev_nee)
+            if nee_fn is None:
+                emit_ok = is_hit
+            else:
+                if K <= 64:
+                    in_lt = (oh @ lights_mat_mask.astype(f32)) > f32(0.5)
+                else:
+                    in_lt = lights_mat_mask[mat_id]
+                emit_ok = is_hit & ~(prev_nee & in_lt)
             final = jnp.where(emit_ok[..., None],
                               final + weight * mat_emission, final)
 
@@ -331,8 +365,35 @@ class WavefrontRenderer:
                                weight)
             o = jnp.where(survive[..., None], p_w, o)
             d = jnp.where(survive[..., None], out, d)
+            if checks and self._debug:
+                # real invariants AFTER masking (transient masked NaNs in
+                # the search are by-design and deliberately not checked).
+                # Only the renderer's own checkified jits (self._jit) set
+                # checks — checkify.check can't trace under a plain jit
+                # (make_trace_fn's output is jitted by callers; debug_nans
+                # still covers that path)
+                from jax.experimental import checkify
+                checkify.check(
+                    jnp.all(jnp.isfinite(jnp.where(
+                        survive[..., None], weight, f32(0.0)))),
+                    "non-finite path weight after bounce (bsdf output, "
+                    "attenuation, or RR divisor produced NaN/inf)")
+                checkify.check(
+                    jnp.all(jnp.isfinite(final)),
+                    "non-finite accumulated radiance (emission or "
+                    "background evaluated to NaN/inf)")
+                checkify.check(
+                    jnp.all(jnp.isfinite(jnp.where(
+                        survive[..., None], d, f32(0.0)))),
+                    "non-finite scattered direction out of a bsdf")
             if nee_fn is not None:
                 return o, d, weight, final, s, survive, is_nee_v & survive
+            if nee:
+                # NEE requested but no sampleable light table (e.g. every
+                # emitter excluded): plain integrator with the NEE step
+                # signature so callers need not special-case
+                return (o, d, weight, final, s, survive,
+                        jnp.zeros_like(survive))
             return o, d, weight, final, s, survive
         return step
 
@@ -591,7 +652,7 @@ class WavefrontRenderer:
         is far too expensive to pay per bounce)."""
         key = ("pool", k)
         if key not in self._multi_cache:
-            step_dyn = self._make_step("dynamic")
+            step_dyn = self._make_step("dynamic", checks=True)
             max_depth = self.max_depth
 
             def multi(params, geom, shade, mat_graph, o, d, weight, s,
@@ -612,7 +673,7 @@ class WavefrontRenderer:
                 return (o, d, weight, s, alive, pdepth, delta,
                         jnp.sum(alive, dtype=i32))
 
-            self._multi_cache[key] = jax.jit(
+            self._multi_cache[key] = self._jit(
                 multi, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
         return self._multi_cache[key]
 
@@ -930,6 +991,13 @@ class WavefrontRenderer:
             if progress is not None:
                 progress(total - queue_left() - min(stale_n, Bc), total)
 
+            # interrupt latency bound: poll once per dispatch, not only at
+            # refill boundaries — P/S/X/SIGINT land within ONE pool step
+            # at any render phase (ui.c:190-233 responsiveness analogue)
+            if interrupt is not None and interrupt():
+                return self._persistent_interrupt(
+                    final, alive, lane, lpass, delta, npix, qpos)
+
             if queue_left() > 0 and Bc == B and stale_n <= B - Q:
                 # fused flush+pack+refill on the LAGGED count: it only
                 # overestimates the live set, so the tail slots it clears
@@ -940,9 +1008,6 @@ class WavefrontRenderer:
                 while m & (m - 1):
                     m &= m - 1
                 if m >= 1:
-                    if interrupt is not None and interrupt():
-                        return self._persistent_interrupt(
-                            final, alive, lane, lpass, delta, npix, qpos)
                     if pending:
                         # resume path: non-contiguous re-enqueued ids go
                         # through the host-side fresh-ray builder
@@ -976,9 +1041,6 @@ class WavefrontRenderer:
                 counts.clear()
                 if stale_n == 0:
                     break
-                if interrupt is not None and interrupt():
-                    return self._persistent_interrupt(
-                        final, alive, lane, lpass, delta, npix, qpos)
                 need = max(_next_pow2(max(stale_n, 1)), 1024)
                 Bn = Bc
                 while Bn // 4 >= need:

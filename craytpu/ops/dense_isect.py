@@ -224,22 +224,6 @@ def sphere_pass(geom, o_w, d_w, inst_order, best_t, best_prim, best_inst):
     return best_t, best_prim, best_inst
 
 
-def make_flash_traverse_fn(dense_meta: dict):
-    """Pallas flash-intersect backed closest-hit (TPU fast path)."""
-    from craytpu.ops import flash_isect as fx
-    flash = fx.build_flash_fn(dense_meta["W_T"], dense_meta["bb"],
-                              dense_meta["inst_rows"], dense_meta["plan"])
-    inst_order = dense_meta["inst_order"]
-
-    def traverse(geom: Geometry, o_w, d_w) -> Hit:
-        B = o_w.shape[0]
-        rays_T = fx.pack_rays_T(o_w, d_w)
-        t, p, ii = flash(rays_T)
-        best_t = t.reshape(-1)[:B]
-        best_prim = p.reshape(-1)[:B]
-        best_inst = ii.reshape(-1)[:B]
-        best_t, best_prim, best_inst = sphere_pass(
-            geom, o_w, d_w, inst_order, best_t, best_prim, best_inst)
-        return exact_recompute(geom, o_w, d_w, best_t, best_prim, best_inst)
-
-    return traverse
+# (The v1 flash_isect wrapper that used to live here was removed with
+# ops/flash_isect.py itself — the Pallas TPU path is ops/flash2.py,
+# reached through ops/hitrec.make_isect_fn(mode="flash").)

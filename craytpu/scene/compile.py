@@ -394,11 +394,25 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
     # pathtrace.c:44 adds along BSDF paths. ----
     lt_kind, lt_mat, lt_p0, lt_e1, lt_e2, lt_n, lt_area = \
         [], [], [], [], [], [], []
+    # materials whose emissive instance can't be sampled by the table
+    # (non-uniformly scaled sphere = ellipsoid under the reference's
+    # transformed-ray semantics; uniform-area sphere sampling would bias
+    # it). Such emitters fall back to BSDF-path sampling: ALL lights of
+    # that material are dropped from the table and the integrator's
+    # post-NEE emission suppression skips them via lights_mat_mask.
+    excluded_mats: set = set()
     for i, inst in enumerate(scene.instances):
         A4 = inst_A[i]
         if inst.kind == INST_SPHERE:
             m = sphere_mat_ids[inst.obj_index]
             if np.any(emission[m][:3] != 0.0):
+                M = np.asarray(A4[:, :3], np.float64)
+                MtM = M.T @ M
+                s2 = float(np.trace(MtM)) / 3.0
+                if not np.allclose(MtM, s2 * np.eye(3),
+                                   rtol=1e-4, atol=1e-6 * max(s2, 1.0)):
+                    excluded_mats.add(int(m))
+                    continue
                 c = A4[:, 3]
                 rw = float(sph_radius[inst.obj_index]
                            * np.linalg.norm(A4[:, 0]))
@@ -444,6 +458,22 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
                 lt_e2.append(e2w[j])
                 lt_n.append(nrm[j])
                 lt_area.append(float(ar[j]))
+    if excluded_mats:
+        keep = [j for j in range(len(lt_kind))
+                if int(lt_mat[j]) not in excluded_mats]
+        lt_kind = [lt_kind[j] for j in keep]
+        lt_mat = [lt_mat[j] for j in keep]
+        lt_p0 = [lt_p0[j] for j in keep]
+        lt_e1 = [lt_e1[j] for j in keep]
+        lt_e2 = [lt_e2[j] for j in keep]
+        lt_n = [lt_n[j] for j in keep]
+        lt_area = [lt_area[j] for j in keep]
+    # materials the table covers: the post-NEE emission suppression
+    # (wavefront_pt step) must only suppress THESE — an emitter absent
+    # from the table gets its direct light via BSDF paths instead
+    lights_mat_mask = np.zeros(max(len(materials), 1), bool)
+    for m in lt_mat:
+        lights_mat_mask[int(m)] = True
     L = len(lt_kind)
     lights = None
     if L:
@@ -492,6 +522,7 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
 
     dense_meta = {
         "lights": lights,
+        "lights_mat_mask": jnp.asarray(lights_mat_mask),
         "mat_nee": jnp.asarray(mat_nee),
         "diffuse_color_ir": diffuse_color_ir,
         "mesh_W": mesh_W,

@@ -35,6 +35,7 @@ def setup_jax(cache_dir: str | None = None) -> None:
         jax.config.update("jax_default_matmul_precision", "highest")
     except Exception:
         pass
+    maybe_enable_debug()
     cache = cache_dir or os.environ.get(
         "CRAYTPU_CACHE", os.path.expanduser("~/.cache/craytpu-jax"))
     os.makedirs(cache, exist_ok=True)
@@ -44,3 +45,29 @@ def setup_jax(cache_dir: str | None = None) -> None:
     except Exception:
         pass
     _CONFIGURED = True
+
+
+def debug_enabled() -> bool:
+    """CRAYTPU_DEBUG=1: the TPU analogue of the reference's opt-in
+    ASan/UBSan builds (CMakeLists.txt:44-55). Read per call so tests can
+    toggle it after import."""
+    return os.environ.get("CRAYTPU_DEBUG", "") not in ("", "0")
+
+
+def maybe_enable_debug() -> bool:
+    """When CRAYTPU_DEBUG is set, turn on jax_debug_nans: a NaN in any
+    jitted output re-runs the computation op-by-op and raises a LOCATED
+    error (file/line of the producing op) instead of silently painting a
+    black pixel. Transient masked NaNs inside the closest-hit search
+    (padded det=0 slots) are by-design and don't trigger this — only a
+    NaN that escapes into a step output does. The renderer additionally
+    checkifies its bounce step (index + explicit invariant checks) when
+    debug is on (wavefront_pt._jit)."""
+    if not debug_enabled():
+        return False
+    import jax
+    try:
+        jax.config.update("jax_debug_nans", True)
+    except Exception:
+        pass
+    return True

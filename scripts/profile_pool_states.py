@@ -26,7 +26,7 @@ def main():
     from craytpu.scene.sceneloader import load_scene_from_file
     from craytpu.scene.compile import compile_scene
     from craytpu.models.wavefront_pt import WavefrontRenderer
-    from craytpu.ops import flash_isect as fx
+    from craytpu.ops import flash2 as fx2
     import jax
     import jax.numpy as jnp
 
@@ -57,10 +57,13 @@ def main():
     r._pool_step = orig
     print(f"captured {len(snaps)} states")
 
-    dm = cs.dense_meta
-    flash = fx.build_flash_fn(dm["W_T"], dm["bb"], dm["inst_rows"],
-                              dm["plan"])
-    kj = jax.jit(lambda o, d: flash(fx.pack_rays_T(o, d)))
+    flash = fx2.build_flash2_fn(cs.dense_meta)
+
+    def run_kernel(o, d):
+        rays_T = fx2.pack_rays_T(o, d)
+        lim = jnp.full(o.shape[0], fx2.FLT_MAX, jnp.float32)
+        return flash(rays_T, fx2.pack_limit(lim, rays_T.shape[0]))
+    kj = jax.jit(run_kernel)
 
     for i in (0, 2, 4, 6, 8, 12, 16, 20, 30):
         if i >= len(snaps):

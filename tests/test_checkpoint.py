@@ -82,3 +82,57 @@ def test_args_resume_value_not_scene(tmp_path):
     # --resume before (or without) the scene must not claim the ckpt file
     opts = cliargs.parse_args(["--resume", str(ckpt)])
     assert "inputFile" not in opts
+
+
+def test_persistent_interrupt_latency_bounded(monkeypatch):
+    """The interrupt callable is polled once per pool dispatch, so an
+    abort lands within ONE step at ANY render phase — including mid-render
+    with a full pool where no refill is eligible (the round-2 gap)."""
+    monkeypatch.setenv("CRAYTPU_POOL_K", "1")
+    scene = load_scene_from_file(SCENE)
+    r = WavefrontRenderer(compile_scene(scene), tile_rays=8192)
+
+    steps = []
+    orig = r._pool_step
+
+    def counted(k):
+        f = orig(k)
+
+        def g(*a):
+            steps.append(1)
+            return f(*a)
+        return g
+    r._pool_step = counted
+
+    polls = []
+
+    def interrupt():
+        polls.append(1)
+        return len(polls) >= 3   # fire mid-render, before any drain
+
+    out = r.render_persistent(spp=3, interrupt=interrupt)
+    assert isinstance(out, tuple) and out[0] == "interrupted"
+    # at most one dispatch per poll + the initial one: firing at poll 3
+    # must stop the loop within the next dispatch
+    assert len(steps) <= len(polls) + 1, (len(steps), len(polls))
+
+
+def test_args_trace_preview_values_not_scene(tmp_path):
+    from craytpu import args as cliargs
+    scene = tmp_path / "scene.json"
+    scene.write_text("{}")
+    tdir = tmp_path / "trc"
+    tdir.mkdir()
+    # --trace <existing path> before the scene: the path is the trace dir,
+    # not the scene (same misparse class as --resume)
+    opts = cliargs.parse_args(["--trace", str(tdir), str(scene)])
+    assert opts["inputFile"] == str(scene)
+    assert opts["trace_dir"] == str(tdir)
+    # --preview N: the integer is the pass interval, not a scene candidate
+    opts = cliargs.parse_args(["--preview", "4", str(scene)])
+    assert opts["inputFile"] == str(scene)
+    assert opts["preview"] == 4
+    # --preview directly followed by the scene still finds the scene
+    opts = cliargs.parse_args(["--preview", str(scene)])
+    assert opts["inputFile"] == str(scene)
+    assert opts["preview"] is True

@@ -77,6 +77,45 @@ GRAD_SCENE = {
 }
 
 
+def test_nee_nonuniform_scaled_sphere_unbiased():
+    """An emissive sphere under a NON-uniform scale is an ellipsoid; the
+    table's uniform-area sphere sampling would bias it (ADVICE r2). It is
+    excluded from the light table and its emission must still arrive via
+    BSDF paths — including after NEE-handled diffuse vertices (the
+    suppression is table-aware)."""
+    import copy
+    sc = copy.deepcopy(GRAD_SCENE)
+    # second, non-uniformly scaled emitter with its own material
+    sc["scene"]["primitives"].append(
+        {"type": "sphere", "radius": 0.1,
+         "color": {"r": 0.5, "g": 1.0, "b": 0.5}, "bsdf": "emissive",
+         "intensity": 300.0,
+         "instances": [{"transforms": [
+             {"type": "scale", "x": 3.0, "y": 1.0, "z": 1.0},
+             {"type": "translate", "x": -2.5, "y": 2.0, "z": -1.5}]}]})
+    scene = load_scene_from_buf(json.dumps(sc))
+    cs = compile_scene(scene)
+    lights = cs.dense_meta["lights"]
+    assert lights is not None and lights["count"] == 1  # ellipsoid dropped
+    mask = np.asarray(cs.dense_meta["lights_mat_mask"])
+    em = np.asarray(cs.params.emission)
+    table_mat = int(np.asarray(lights["mat"])[0])
+    assert mask[table_mat]
+    excl = [k for k in range(em.shape[0])
+            if np.any(em[k, :3] != 0) and k != table_mat]
+    assert excl and not mask[excl[0]]
+
+    r = WavefrontRenderer(cs)
+    W, H = r.width, r.height
+    xs = jnp.asarray(np.tile(np.arange(W, dtype=np.int32), H))
+    ys = jnp.asarray(np.repeat(np.arange(H, dtype=np.int32), W))
+    nee = _passes(r, cs, xs, ys, 48, depth=4, nee=True)
+    ref = _passes(r, cs, xs, ys, 1600, depth=4, nee=False)
+    m_ref = ref[..., :3].mean()
+    m_n = nee[..., :3].mean()
+    assert abs(m_n - m_ref) / max(m_ref, 1e-6) < 0.10, (m_ref, m_n)
+
+
 def test_nee_gradients_match_fd():
     scene = load_scene_from_buf(json.dumps(GRAD_SCENE))
     cs = compile_scene(scene)
