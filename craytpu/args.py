@@ -27,6 +27,8 @@ Options:
   --nodes <list> Use worker processes at comma-separated addresses
   --shutdown     Ask workers on --nodes to shut down
   --resume <f>   Resume a render from a checkpoint file
+  --preview [n]  Write a preview PNG every n passes
+  --preview-http [port]  Live render view at http://127.0.0.1:<port>/
   --test [n]     Run test n (or all) via pytest
   --tcount       Print test count
   Empty input reads the scene JSON from stdin.
@@ -59,7 +61,7 @@ _VALUE_FLAGS = ("--resume", "--suite", "--nodes", "--trace",
                 "-s", "-d", "-t", "-j")
 # flags that consume the next token only when it is an integer
 # (`--preview 4` vs `--preview scene.json`)
-_OPT_INT_FLAGS = ("--preview", "--worker", "--test")
+_OPT_INT_FLAGS = ("--preview", "--preview-http", "--worker", "--test")
 
 
 def _is_int(tok: str | None) -> bool:
@@ -169,6 +171,15 @@ def parse_args(argv: list[str]) -> dict:
             if nxt and not nxt.startswith("-"):
                 try:
                     opts["preview"] = max(int(nxt), 1)
+                except ValueError:
+                    pass
+        elif a == "--preview-http":
+            # live localhost view of the accumulating framebuffer (the
+            # SDL-window analogue for headless hosts, ui.c:88-160)
+            opts["preview_http"] = 0      # 0 = ephemeral port
+            if nxt and not nxt.startswith("-"):
+                try:
+                    opts["preview_http"] = min(max(int(nxt), 0), 65535)
                 except ValueError:
                     pass
         elif a.startswith("-"):

@@ -81,6 +81,12 @@ class _KeyPoller:
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     opts = cliargs.parse_args(argv)
+    # multi-HOST bring-up must precede any JAX backend touch: after this,
+    # jax.devices() spans every process's chips and the mesh render below
+    # covers the whole slice (the analogue of syncWithClients,
+    # server.c:369 — but over ICI/DCN collectives, not TCP/base64)
+    from craytpu.parallel.dist import init_distributed
+    init_distributed()
     logging.set_verbose(bool(opts.get("v")))
     logging.info("craytpu v%s (c-ray %s capability surface)",
                  __version__, REFERENCE_VERSION)
@@ -148,7 +154,18 @@ def main(argv: list[str] | None = None) -> int:
 
     cscene = compile_scene(scene)
     kind = smp.HALTON if opts.get("interactive") else smp.RANDOM
-    r = WavefrontRenderer(cscene, kind=kind)
+    # the product's default render spans EVERY visible device (mesh-
+    # sharded persistent pools, parallel/pool_shard.py) — the in-product
+    # counterpart of the reference using all compute units for one frame
+    # (renderer.c:96-117 threads + server.c:369 cluster)
+    from craytpu.parallel.pool_shard import (ShardedPoolRenderer,
+                                             make_renderer)
+    if opts.get("resume") or clustering:
+        # persistent checkpoints and the TCP tier are single-device paths
+        r = WavefrontRenderer(cscene, kind=kind)
+    else:
+        r = make_renderer(cscene, kind=kind)
+    sharded = isinstance(r, ShardedPoolRenderer)
 
     import jax.numpy as jnp
     import numpy as np
@@ -186,7 +203,11 @@ def main(argv: list[str] | None = None) -> int:
 
     logging.info("Rendering at %dx%d", r.width, r.height)
     logging.info("Rendering %d samples with %d bounces", spp, r.max_depth)
-    logging.info("Pathtracing on %s...", _backend_name())
+    if sharded:
+        logging.info("Pathtracing on %d %s devices (mesh-sharded "
+                     "persistent pools)...", r.D, _backend_name())
+    else:
+        logging.info("Pathtracing on %s...", _backend_name())
 
     if clustering:
         from craytpu.parallel import cluster
@@ -220,6 +241,16 @@ def main(argv: list[str] | None = None) -> int:
                        render_time_ms=render_ms)
         api.write_image()
         return 0
+
+    # --preview-http: live localhost view of the accumulating frame +
+    # progress counters (ui.c:88-160/:236-320 analogue for headless hosts)
+    preview_srv = None
+    if opts.get("preview_http") is not None:
+        from craytpu.runtime.preview import PreviewServer
+        preview_srv = PreviewServer(r.width, r.height,
+                                    port=opts["preview_http"] or 8650)
+        url = preview_srv.start()
+        logging.info("Live preview at %s", url)
 
     # progressive preview (the SDL window analogue on headless TPU hosts):
     # --preview [N] writes <name>_preview.png every N passes
@@ -256,6 +287,27 @@ def main(argv: list[str] | None = None) -> int:
             sys.stderr.write(f"\r[{int(frac * 100):3d}%] "
                              f"{done // 1000}k/{total // 1000}k paths")
             sys.stderr.flush()
+            if preview_srv is not None:
+                preview_srv.progress_only(max(done, 0), total)
+
+        on_frame = None
+        if preview_srv is not None:
+            npix = r.width * r.height
+            last_fetch = [0.0]
+
+            def on_frame(final_dev, done):
+                # throttle: the framebuffer fetch is a full device->host
+                # copy (33 MB at 1080p) — at most one every 2 s
+                now = time.perf_counter()
+                if now - last_fetch[0] < 2.0 or done <= 0:
+                    return
+                last_fetch[0] = now
+                fs = np.asarray(final_dev)
+                if fs.ndim == 3:            # sharded per-device partials
+                    fs = fs.sum(axis=0)
+                denom = max(done / npix, 1e-9)
+                preview_srv.update((fs / denom).reshape(
+                    r.height, r.width, 4), done, npix * spp)
 
         # SIGINT or the X/S keys on the fast path: checkpoint at the next
         # refill boundary (losslessly: completed lanes' radiance +
@@ -279,10 +331,17 @@ def main(argv: list[str] | None = None) -> int:
             with keys:
                 out = r.render_persistent(spp=spp, progress=ray_progress,
                                           resume=persist_resume,
-                                          interrupt=interrupt)
+                                          interrupt=interrupt,
+                                          on_frame=on_frame)
         finally:
             signal.signal(signal.SIGINT, prev_handler)
         sys.stderr.write("\n")
+        if isinstance(out, tuple) and out[0] == "aborted":
+            # sharded mode: per-device queue positions are not
+            # checkpointable; abort like the reference's X key
+            logging.info("Aborting sharded render (no checkpoint; "
+                         "re-run single-device for --resume support)")
+            return 130
         if isinstance(out, tuple) and out[0] == "interrupted":
             _, final_sum, pending, qpos = out
             logging.info("Aborting persistent render; checkpointing "
@@ -303,6 +362,10 @@ def main(argv: list[str] | None = None) -> int:
                     accum = r.render_pass(accum, p, spp)
                     accum.block_until_ready()
                     _status(p + 1, spp, t0, r.width, r.height)
+                    if preview_srv is not None:
+                        npx = r.width * r.height
+                        preview_srv.update(np.asarray(accum),
+                                           (p + 1) * npx, spp * npx)
                     if preview_every and (p + 1) % int(preview_every) == 0:
                         from craytpu.io.png import write_png
                         write_png(preview_path, np.asarray(accum),

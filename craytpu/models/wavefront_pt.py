@@ -130,6 +130,7 @@ class WavefrontRenderer:
                 # pdepth: PER-LANE path depth — the persistent pool mixes
                 # paths at different depths, and Russian roulette must
                 # activate at each path's own depth 4 (pathtrace.c:50)
+                params = self.cscene.reg.make_ctx(params)  # hoisted
                 delta = jnp.zeros_like(weight)
 
                 max_depth = self.max_depth
@@ -231,7 +232,13 @@ class WavefrontRenderer:
             return out, col, s_sel
 
         import os as _os
-        SHADE_CHUNK = int(_os.environ.get("CRAYTPU_SHADE_CHUNK", "65536"))
+        # 0 (default) = unchunked: with the quad-gather texture path and
+        # identity-skipping select_state, evaluating every graph over the
+        # full wavefront beats 64k chunks (55.8 -> ~34 ms at 1M lanes on
+        # scene.json) AND cuts the step's HLO ~16x (the chunk unroll made
+        # 1M-lane step compiles take tens of minutes on the axon server).
+        # Set CRAYTPU_SHADE_CHUNK=65536 to restore chunked shading.
+        SHADE_CHUNK = int(_os.environ.get("CRAYTPU_SHADE_CHUNK", "0"))
 
         def shade_all(params, rec, st, gid):
             """Material-segmented shading: the pool is Morton-sorted, so
@@ -239,7 +246,8 @@ class WavefrontRenderer:
             each chunk's any-lane conds skip whole graphs instead of
             paying every graph over the full wavefront."""
             B = rec.distance.shape[0]
-            if len(bsdf_fns) == 1 or B <= SHADE_CHUNK or B % SHADE_CHUNK:
+            if (len(bsdf_fns) == 1 or SHADE_CHUNK <= 0
+                    or B <= SHADE_CHUNK or B % SHADE_CHUNK):
                 return shade_chunk(params, rec, st, gid)
             nch = B // SHADE_CHUNK
 
@@ -260,8 +268,14 @@ class WavefrontRenderer:
                               *[o[2] for o in outs])
             return out, col, s2
 
+        reg = self.cscene.reg
+
         def step(params, geom, shade, mat_graph, o, d, weight, final, s,
                  alive, rr_active=None, prev_nee=None):
+            # derived shading context (bilinear quad-row tables built
+            # from params.texels). No-op if the caller already wrapped —
+            # scan-based callers hoist this OUTSIDE the bounce loop.
+            params = reg.make_ctx(params)
             # Detach the traversal inputs: the discrete BVH walk (a
             # lax.while_loop) must not sit on the reverse-AD path. Gradients
             # w.r.t. material params flow through the throughput/attenuation
@@ -398,9 +412,50 @@ class WavefrontRenderer:
         return step
 
     # ------------------------------------------------------------------
+    def census_schedule(self, xs, ys, spp: int = 4,
+                        depth: int | None = None, safety: float = 1.3,
+                        min_width: int = 1024):
+        """Measure live-lane counts per bounce depth with the forward
+        integrator and derive a conservative compaction schedule
+        [(start_depth, width), ...] for make_trace_fn(compaction=...).
+
+        The schedule widths are next-pow2(max live over the probed passes
+        x safety); identical sample streams mean the differentiable trace
+        sees exactly the same live sets, so no path is ever dropped as
+        long as the probed passes bound the rendered ones (they do for
+        the same (xs, ys) batch; other pass indices vary only by RNG —
+        hence the safety factor)."""
+        depth = depth if depth is not None else self.max_depth
+        B = xs.shape[0]
+        step = self._step_pre  # compiled; RR handled by _step_rr
+        max_live = np.zeros(depth, np.int64)
+        for p in range(spp):
+            o, d, s = self._init_rays(xs, ys, i32(p), i32(spp))
+            weight = jnp.ones((B, 4), f32)
+            final = jnp.zeros((B, 4), f32)
+            alive = jnp.ones(B, bool)
+            for k in range(depth):
+                fn = self._step_pre if k < 4 else self._step_rr
+                o, d, weight, final, s, alive = fn(
+                    self.cscene.params, self.cscene.geom,
+                    self.cscene.shade, self.cscene.mat_graph,
+                    o, d, weight, final, s, alive)
+                n = int(jnp.sum(alive))
+                max_live[k] = max(max_live[k], n)
+                if n == 0:
+                    break
+        sched = [(0, B)]
+        for k in range(depth):
+            need = _next_pow2(max(int(max_live[k] * safety), min_width))
+            need = min(need, B)
+            if need < sched[-1][1]:
+                sched.append((k + 1, need))
+        return sched
+
     def make_trace_fn(self, depth: int | None = None,
                       diff_geometry: bool = False,
-                      remat: bool = False, nee: bool = False):
+                      remat: bool = False, nee: bool = False,
+                      compaction=None):
         """Pure, jittable, differentiable fixed-depth trace.
 
         Returns trace(params, xs, ys, pass_idx, spp) -> (B, 4) radiance with
@@ -429,6 +484,7 @@ class WavefrontRenderer:
 
         def _trace(params, g, xs, ys, pass_idx, spp):
             B = xs.shape[0]
+            params = cs.reg.make_ctx(params)   # hoist out of the scan
             pix_idx = ys.astype(u32) * u32(width) + xs.astype(u32)
             s = smp.init_sampler(kind, jnp.broadcast_to(pass_idx, (B,)),
                                  jnp.broadcast_to(spp, (B,)), pix_idx)
@@ -440,6 +496,75 @@ class WavefrontRenderer:
             weight = jnp.ones((B, 4), f32)
             final = jnp.zeros((B, 4), f32)
             alive = jnp.ones(B, bool)
+
+            if compaction:
+                # ---- compaction-scheduled differentiable trace ----
+                # The fixed-depth scan pays every bounce at full width
+                # even though the live set shrinks geometrically (misses
+                # + Russian roulette): 50 full-width bounces for ~7.4
+                # real ones. With a conservative static width schedule
+                # [(start_depth, width)...], the wavefront is packed
+                # live-first (argsort indices are detached ints; the
+                # SAME paths run with the SAME streams, so gradients are
+                # identical to the plain trace as long as no width
+                # overflows — use census_schedule() to derive safe
+                # widths) and later bounces run at a fraction of the
+                # cost. Radiance flushes into the full-width buffer by
+                # original lane id at each width change (differentiable
+                # scatter-add).
+                sched = [(ds, min(w, B)) for ds, w in compaction
+                         if ds < depth]
+                if not sched or sched[0][0] != 0:
+                    sched = [(0, B)] + sched
+                bounds = [s0 for s0, _ in sched] + [depth]
+                lane = jnp.arange(B, dtype=i32)
+                delta = jnp.zeros((B, 4), f32)
+                prev = jnp.zeros(B, bool) if nee else None
+
+                def seg_body(carry, k):
+                    if nee:
+                        o, d, w_, dl, s, al, pv = carry
+                        o, d, w_, dl, s, al, pv = step_dyn(
+                            params, g, shade, mat_graph, o, d, w_, dl,
+                            s, al, k >= 4, pv)
+                        return (o, d, w_, dl, s, al, pv), None
+                    o, d, w_, dl, s, al = carry
+                    o, d, w_, dl, s, al = step_dyn(
+                        params, g, shade, mat_graph, o, d, w_, dl,
+                        s, al, k >= 4)
+                    return (o, d, w_, dl, s, al), None
+
+                body_fn = (jax.checkpoint(seg_body) if remat is True
+                           else seg_body)
+
+                for si, (ds, w) in enumerate(sched):
+                    de = bounds[si + 1]
+                    if w < alive.shape[0]:
+                        final = final.at[lane].add(delta)
+                        order = jnp.argsort(~alive)[:w]   # live-first
+                        o, d, weight = o[order], d[order], weight[order]
+                        s = jax.tree.map(lambda x: x[order], s)
+                        alive, lane = alive[order], lane[order]
+                        delta = jnp.zeros((w, 4), f32)
+                        if nee:
+                            prev = prev[order]
+                    init = ((o, d, weight, delta, s, alive, prev) if nee
+                            else (o, d, weight, delta, s, alive))
+                    ks = jnp.arange(ds, de, dtype=i32)
+                    if remat == "segment":
+                        # one recompute per SEGMENT in the backward pass
+                        # (k x cheaper than per-bounce remat; peak memory
+                        # = one segment's residuals at this width)
+                        carry, _ = jax.checkpoint(
+                            lambda ini, _ks=ks: jax.lax.scan(
+                                seg_body, ini, _ks))(init)
+                    else:
+                        carry, _ = jax.lax.scan(body_fn, init, ks)
+                    if nee:
+                        o, d, weight, delta, s, alive, prev = carry
+                    else:
+                        o, d, weight, delta, s, alive = carry
+                return final.at[lane].add(delta)
 
             if nee:
                 def body(carry, k):
@@ -490,6 +615,7 @@ class WavefrontRenderer:
 
         def trace_rays(params, o, d, s):
             B = o.shape[0]
+            params = cs.reg.make_ctx(params)   # hoist out of the scan
             weight = jnp.ones((B, 4), f32)
             final = jnp.zeros((B, 4), f32)
             alive = jnp.ones(B, bool)
@@ -657,6 +783,7 @@ class WavefrontRenderer:
 
             def multi(params, geom, shade, mat_graph, o, d, weight, s,
                       alive, pdepth, delta):
+                params = self.cscene.reg.make_ctx(params)  # hoisted
                 def body(carry, _):
                     o, d, w, dl, s, alive, pd = carry
                     # per-path bounce cap (prefs.bounces): the persistent
@@ -878,7 +1005,7 @@ class WavefrontRenderer:
         return self._multi_cache[key]
 
     def render_persistent(self, spp: int | None = None, progress=None,
-                          resume=None, interrupt=None):
+                          resume=None, interrupt=None, on_frame=None):
         """Full render as ONE persistent wavefront: a fixed pool of
         tile_rays lanes; dead lanes are replaced by fresh (pixel, pass)
         primaries from the queue, so every dispatch runs near-full
@@ -908,6 +1035,15 @@ class WavefrontRenderer:
             for p in range(spp):
                 acc = self.render_pass(acc, p, spp)
             return jax.device_get(acc)
+        # CRAYTPU_POOL_STATS=1: host-loop phase accounting (approximate —
+        # the loop runs one step behind the device via the lag-1 count,
+        # so per-iteration wall time tracks device time closely)
+        import os as _os
+        import time as _time
+        stats_on = _os.environ.get("CRAYTPU_POOL_STATS")
+        stats = {"step": [0, 0.0], "refill": [0, 0.0],
+                 "shrink": [0, 0.0], "other": [0, 0.0],
+                 "occ_sum": 0.0, "lane_bounces": 0.0}
         xs_f, ys_f, _, T, _, _ = self._pixel_schedule
         xs_f, ys_f = np.asarray(xs_f[:npix]), np.asarray(ys_f[:npix])
         B = min(self.tile_rays, _next_pow2(npix))
@@ -967,11 +1103,19 @@ class WavefrontRenderer:
         delta = jnp.zeros((B, 4), f32)
         stale_n = took                 # lagged upper bound on live lanes
         counts: list = []              # in-flight [count_array, adjust]
+        hist: dict = {}
+        t_start = _time.perf_counter()
         while True:
             Bc = alive.shape[0]
             # drain phase: fuse more bounces per dispatch as the pool
             # shrinks (dispatch+sync floor dwarfs compute at small sizes)
             kc = k if (force_k or Bc > 32768) else (4 if Bc > 4096 else 8)
+            if stats_on:
+                hkey = ("step", Bc, kc)
+                hist[hkey] = hist.get(hkey, 0) + 1
+                stats["occ_sum"] += min(stale_n, Bc)
+                stats["lane_bounces"] += min(stale_n, Bc) * kc
+                stats["step"][0] += 1
             o, d, weight, s, alive, pdepth, delta, n_live = \
                 self._pool_step(kc)(
                     cs.params, cs.geom, cs.shade, cs.mat_graph,
@@ -1008,6 +1152,9 @@ class WavefrontRenderer:
                 while m & (m - 1):
                     m &= m - 1
                 if m >= 1:
+                    if stats_on:
+                        stats["refill"][0] += 1
+                        hist[("refill", m)] = hist.get(("refill", m), 0) + 1
                     if pending:
                         # resume path: non-contiguous re-enqueued ids go
                         # through the host-side fresh-ray builder
@@ -1035,6 +1182,10 @@ class WavefrontRenderer:
                     for e in counts:
                         e[1] += took
                     stale_n += took
+                    if on_frame is not None:
+                        # live preview hook: the framebuffer SUM of
+                        # completed paths (callee throttles the fetch)
+                        on_frame(final, total - queue_left())
             elif queue_left() == 0:
                 # drain: exact count, early exit, shrink buckets
                 stale_n = int(counts[-1][0]) + counts[-1][1]
@@ -1046,11 +1197,27 @@ class WavefrontRenderer:
                 while Bn // 4 >= need:
                     Bn //= 4
                 if Bn < Bc:
+                    if stats_on:
+                        stats["shrink"][0] += 1
                     (final, o, d, weight, s, alive, lane, lpass, pdepth,
                      delta) = self._pack_shrink(Bn)(
                         final, o, d, weight, s, alive, lane, lpass,
                         pdepth, delta)
         final = self._final_flush()(final, lane, delta, alive)
+        if stats_on:
+            import sys as _sys
+            wall = _time.perf_counter() - t_start
+            n_steps = max(stats["step"][0], 1)
+            print(f"pool stats: {wall:.2f}s wall, "
+                  f"{stats['step'][0]} step dispatches "
+                  f"(avg occupancy {stats['occ_sum'] / n_steps / B:.2f}), "
+                  f"{stats['refill'][0]} refills, "
+                  f"{stats['shrink'][0]} shrinks, "
+                  f"{stats['lane_bounces'] / 1e6:.1f}M lane-bounces "
+                  f"({stats['lane_bounces'] / max(total, 1):.2f}/path)",
+                  file=_sys.stderr)
+            for hk in sorted(hist):
+                print(f"  {hk}: {hist[hk]}", file=_sys.stderr)
         final = final / f32(spp)
         return jax.device_get(final.reshape(H, W, 4))
 

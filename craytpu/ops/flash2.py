@@ -167,6 +167,11 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
     # profiling counters (scripts/profile_visits.py); statically compiled
     # out unless CRAYTPU_FLASH_DEBUG is set
     DEBUG = bool(os.environ.get("CRAYTPU_FLASH_DEBUG"))
+    # CRAYTPU_FLASH_ABLATE (profiling only, scripts/profile_kernel.py):
+    # "novisit" = skip block bodies (measures scan/DMA/control overhead),
+    # "noepilogue" = matmul + one reduce only, "noextract" = full valid
+    # math but no winner-id extraction
+    ABLATE = os.environ.get("CRAYTPU_FLASH_ABLATE", "")
     if DEBUG:
         dbg[0] = i32(0)
         dbg[1] = i32(0)
@@ -309,11 +314,19 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
 
                     def do_blk(carry):
                         bt, bp, bi = carry
+                        if ABLATE == "novisit":
+                            return bt, bp, bi
                         if resident:
                             Wb = W_hbm[blk]
                         else:
                             Wb = wbuf[slot, bl]
                         q3 = _search_dot(Wb, phiS)
+                        if ABLATE == "noepilogue":
+                            # consume the matmul with a single reduce
+                            bt = jnp.minimum(bt, jnp.min(
+                                jnp.abs(q3[3 * TRI_BLOCK:4 * TRI_BLOCK])
+                                + f32(1e30), axis=0, keepdims=True))
+                            return bt, bp, bi
                         det = q3[0 * TRI_BLOCK:1 * TRI_BLOCK]
                         ud = q3[1 * TRI_BLOCK:2 * TRI_BLOCK]
                         vd = q3[2 * TRI_BLOCK:3 * TRI_BLOCK]
@@ -334,6 +347,8 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                         t = jnp.where(valid, t, FLT_MAX)
                         tmin = jnp.min(t, axis=0, keepdims=True)
                         upd = tmin < bt
+                        if ABLATE == "noextract":
+                            return jnp.where(upd, tmin, bt), bp, bi
 
                         def extract(carry):
                             bt, bp, bi = carry

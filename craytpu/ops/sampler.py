@@ -93,5 +93,10 @@ def get_dimension(kind: str, s: SamplerState):
 
 
 def select_state(cond, a: SamplerState, b: SamplerState) -> SamplerState:
-    """Per-lane select between two sampler states (masked advance)."""
-    return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
+    """Per-lane select between two sampler states (masked advance).
+
+    Fields the advance did not touch are the SAME array object on both
+    sides (e.g. RANDOM only moves pcg_hi/pcg_lo) — skip their where:
+    the narrow (B,) selects are measurably expensive at 1M lanes."""
+    return jax.tree.map(
+        lambda x, y: x if x is y else jnp.where(cond, x, y), a, b)

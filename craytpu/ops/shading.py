@@ -44,6 +44,22 @@ class ShadeParams(NamedTuple):
     ior: jnp.ndarray       # (K,) legacy material IOR
 
 
+class ShadeCtx(NamedTuple):
+    """ShadeParams plus per-step derived tables. Duck-types ShadeParams
+    for every compiled node; `texq` carries the bilinear quad-row tables
+    (one (h*w, 16) array per quad-eligible texture), built ONCE per step
+    from params.texels (Registry.make_ctx) so chunked/cond-gated shading
+    does not rebuild the 4-rows-per-texel gather at every eval site.
+    Differentiable: texq derives from texels inside the traced step."""
+    colors: jnp.ndarray
+    values: jnp.ndarray
+    vecs: jnp.ndarray
+    texels: jnp.ndarray
+    emission: jnp.ndarray
+    ior: jnp.ndarray
+    texq: tuple
+
+
 class HitRec(NamedTuple):
     """hitRecord fields visible to shading (datatypes/hitrecord.h).
 
@@ -86,11 +102,35 @@ class Registry:
         self.tex_meta = []
         offset = 0  # in RGBA rows
         self._tex_bufs = []
+        # quad-eligible textures: tex_id -> (slot, global quad index);
+        # their (h*w, 16) quad-row tables are derived once per step by
+        # make_ctx and reached through ShadeCtx.texq[slot]
+        self.quad_slot = {}
+        self._quad_idx = []
         for t in textures:
             h, w, c = t.data.shape
             self.tex_meta.append((offset, w, h, c))
             self._tex_bufs.append(tex.pack_rgba_rows(t.data))
+            if h * w <= tex.QUAD_MAX_TEXELS:
+                self.quad_slot[len(self.tex_meta) - 1] = \
+                    len(self._quad_idx)
+                self._quad_idx.append(
+                    tex.build_quad_index((offset, w, h, c)))
             offset += h * w
+
+    def make_ctx(self, params: "ShadeParams") -> "ShadeCtx":
+        """Derive the per-step shading context: build each quad-eligible
+        texture's (h*w, 16) quad-row table from params.texels (one
+        flattened row gather per texture, amortized over the whole
+        wavefront — NOT per shade chunk/cond)."""
+        if isinstance(params, ShadeCtx):
+            return params
+        if not self._quad_idx:
+            return ShadeCtx(*params, texq=())
+        texq = tuple(
+            params.texels[jnp.asarray(q.reshape(-1))].reshape(-1, 16)
+            for q in self._quad_idx)
+        return ShadeCtx(*params, texq=texq)
 
     def color_idx(self, rgba):
         key = tuple(float(x) for x in rgba)
@@ -158,13 +198,25 @@ def compile_color(ir, reg: Registry):
         meta = reg.tex_meta[tex_id]
         no_bilinear = bool(options & ng.NO_BILINEAR)
         srgb = bool(options & ng.SRGB_TRANSFORM)
+        # small/medium textures: fuse the 4 bilinear reads into one
+        # 16-wide row gather against a quad-row table. The table is built
+        # once per step from p.texels when the caller provides a ShadeCtx
+        # (wavefront step does); plain-ShadeParams callers fall back to
+        # the classic 4-gather fetch (identical values either way).
+        quad_slot = (None if no_bilinear
+                     else reg.quad_slot.get(tex_id))
 
         def image_fn(p, rec):
             u = rec.uv[..., 0]
             v = rec.uv[..., 1]
+            tq = (p.texq[quad_slot]
+                  if quad_slot is not None and hasattr(p, "texq")
+                  else None)
             if no_bilinear:
                 out = tex.fetch_nearest(p.texels, meta, u * meta[1],
                                         v * meta[2])
+            elif tq is not None:
+                out = tex.fetch_bilinear_quadtab(tq, meta, u, v)
             else:
                 out = tex.fetch_bilinear(p.texels, meta, u, v)
             if srgb:

@@ -71,3 +71,53 @@ def fetch_bilinear(texels, meta, u, v):
     top = tl * (f32(1.0) - fx) + tr * fx
     bot = bl * (f32(1.0) - fx) + br * fx
     return top * (f32(1.0) - fy) + bot * fy
+
+
+# textures up to this many texels use the single-gather quad path; larger
+# ones (big HDR env maps) fall back to 4 gathers rather than paying the
+# per-step quad-table build
+QUAD_MAX_TEXELS = 1 << 22
+
+
+def build_quad_index(meta) -> np.ndarray:
+    """(h*w, 4) i32: for each STORAGE row of one texture, the global
+    storage rows of its bilinear quad [tl, tr, bl, br] with the wrap and
+    y-flip of _fetch_internal baked in. Per-lane bilinear then needs ONE
+    16-wide row gather instead of four 4-wide ones — row gathers are
+    descriptor-bound on TPU, so this is ~4x cheaper."""
+    offset, w, h, _ = meta
+    idx = np.arange(h * w)
+    x = idx % w
+    y = h - 1 - idx // w          # invert s = x + (h-1-y)*w
+
+    def sidx(xx, yy):
+        return np.mod(xx, w) + (h - 1 - np.mod(yy, h)) * w
+
+    quad = np.stack([sidx(x, y), sidx(x + 1, y),
+                     sidx(x, y + 1), sidx(x + 1, y + 1)], axis=1)
+    return (offset + quad).astype(np.int32)
+
+
+def fetch_bilinear_quadtab(quad16, meta, u, v):
+    """fetch_bilinear with the 4 texel reads fused into ONE 16-wide row
+    gather against a precomputed (h*w, 16) quad-row table (built once
+    per step by Registry.make_ctx from params.texels — differentiable
+    through that build). Bit-identical values to fetch_bilinear."""
+    _, w, h, _ = meta
+    x = u * w
+    y = v * h
+    xc = x - f32(0.5)
+    yc = y - f32(0.5)
+    xi = xc.astype(i32)
+    yi = yc.astype(i32)
+    s = (jnp.mod(xi, w) + (h - 1 - jnp.mod(yi, h)) * w)
+    rows = quad16[s]                       # ONE (B,) gather, 16-wide rows
+    tl = rows[..., 0:4]
+    tr = rows[..., 4:8]
+    bl = rows[..., 8:12]
+    br = rows[..., 12:16]
+    fx = (xc - xi.astype(f32))[..., None]
+    fy = (yc - yi.astype(f32))[..., None]
+    top = tl * (f32(1.0) - fx) + tr * fx
+    bot = bl * (f32(1.0) - fx) + br * fx
+    return top * (f32(1.0) - fy) + bot * fy

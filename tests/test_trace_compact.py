@@ -1,0 +1,68 @@
+"""Compaction-scheduled differentiable trace: identical image and
+identical gradients to the plain fixed-depth trace (the same paths run
+with the same sample streams; compaction only packs live lanes), at a
+fraction of the bounce-step cost."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from craytpu.scene.sceneloader import load_scene_from_file
+from craytpu.scene.compile import compile_scene
+from craytpu.models.wavefront_pt import WavefrontRenderer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCENE = os.path.join(REPO, "assets", "entry_scene.json")
+DEPTH = 10
+
+
+def _setup():
+    cs = compile_scene(load_scene_from_file(SCENE))
+    r = WavefrontRenderer(cs)
+    W, H = r.width, r.height
+    xs = jnp.asarray(np.tile(np.arange(W, dtype=np.int32), H))
+    ys = jnp.asarray(np.repeat(np.arange(H, dtype=np.int32), W))
+    return cs, r, xs, ys
+
+
+def test_census_schedule_shrinks():
+    cs, r, xs, ys = _setup()
+    sched = r.census_schedule(xs, ys, spp=2, depth=DEPTH, min_width=64)
+    assert sched[0] == (0, xs.shape[0])
+    widths = [w for _, w in sched]
+    assert widths == sorted(widths, reverse=True)
+    assert len(sched) >= 2          # the live set does shrink
+    # derived widths are pow2 (the initial width is the batch size B)
+    assert all(w & (w - 1) == 0 for _, w in sched[1:])
+
+
+def test_compacted_trace_matches_plain_forward_and_grad():
+    cs, r, xs, ys = _setup()
+    sched = r.census_schedule(xs, ys, spp=3, depth=DEPTH, min_width=64)
+    plain = jax.jit(r.make_trace_fn(depth=DEPTH))
+    for remat in (False, True, "segment"):
+        comp = jax.jit(r.make_trace_fn(depth=DEPTH, remat=remat,
+                                       compaction=sched))
+        a = plain(cs.params, xs, ys, jnp.int32(1), jnp.int32(3))
+        b = comp(cs.params, xs, ys, jnp.int32(1), jnp.int32(3))
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
+
+    def loss(trace):
+        def f(params):
+            img = trace(params, xs, ys, jnp.int32(1), jnp.int32(3))
+            return jnp.mean(img[..., :3] * jnp.cos(
+                jnp.arange(img.shape[0], dtype=jnp.float32))[:, None])
+        return f
+
+    comp = jax.jit(r.make_trace_fn(depth=DEPTH, remat="segment",
+                                   compaction=sched))
+    g_a = jax.grad(loss(plain))(cs.params)
+    g_b = jax.grad(loss(comp))(cs.params)
+    for la, lb, name in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b),
+                            jax.tree.leaves(
+                                jax.tree.map(lambda *_: 0, g_a))):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=2e-4, atol=1e-7)
