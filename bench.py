@@ -34,6 +34,8 @@ HEIGHT = int(os.environ.get("BENCH_HEIGHT", "1080"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 PASSES = int(os.environ.get("BENCH_PASSES", "8"))
 GRAD = os.environ.get("BENCH_GRAD", "1") != "0"
+GOLDEN = os.environ.get("BENCH_GOLDEN", "1") != "0"
+MESH = os.environ.get("BENCH_MESH", "1") != "0"
 BASELINE_PATHS_PER_S = 1.33e6
 # the compiled C reference on THIS host (2 visible cores): measured
 # 0.44 Mpaths/s at 1080p scene.json (BASELINE.md) — a second anchor
@@ -71,14 +73,18 @@ def main():
     np.save(os.path.join(out_dir, "bench_frame.npy"), np.asarray(accum))
 
     # ---- forward+backward: value_and_grad of the image loss w.r.t. all
-    # material parameters through the fixed-depth differentiable trace
-    # (one full wavefront batch, same bounce budget, remat per bounce) ----
+    # material parameters through the compaction-scheduled differentiable
+    # trace (one full wavefront batch, same bounce budget): live-lane
+    # census -> conservative static width schedule, so deep bounces run at
+    # a fraction of full width, with one remat recompute per SEGMENT ----
     fwd_bwd_pps = None
     if GRAD:
-        trace = r.make_trace_fn(remat=True)
         B = r.tile_rays
         xs, ys, _, _, _, _ = r._pixel_schedule
         xs, ys = xs[:B], ys[:B]
+        sched = r.census_schedule(xs, ys, spp=2)
+        print(f"bench: compaction schedule {sched}", file=sys.stderr)
+        trace = r.make_trace_fn(remat="segment", compaction=sched)
 
         def loss(params):
             img = trace(params, xs, ys, jnp.int32(0), jnp.int32(PASSES))
@@ -104,7 +110,68 @@ def main():
     }
     if fwd_bwd_pps is not None:
         out["fwd_bwd_paths_per_sec"] = round(fwd_bwd_pps, 1)
+
+    # ---- golden gate on THIS backend: a TPU-only shading/kernel
+    # regression must not produce a green round (VERDICT r2 #4). Renders
+    # the full corpus at 80x50/4spp and compares against the C-oracle
+    # goldens with the pytest thresholds. ----
+    golden_fail = []
+    if GOLDEN:
+        from craytpu.utils import golden as gold
+        for name in gold.SCENES:
+            try:
+                ok, within, mean_abs = gold.render_and_compare(name)
+            except Exception as e:          # noqa: BLE001 — report & fail
+                ok, within, mean_abs = False, 0.0, float("nan")
+                print(f"golden {name}: EXCEPTION {e}", file=sys.stderr)
+            if ok is None:
+                continue
+            print(f"golden {name}: within1lsb={within:.4f} "
+                  f"mean|d|={mean_abs:.4f} -> "
+                  f"{'ok' if ok else 'FAIL'}", file=sys.stderr)
+            if not ok:
+                golden_fail.append(name)
+        out["golden_ok"] = not golden_fail
+        if golden_fail:
+            out["golden_failed_scenes"] = golden_fail
+
+    # ---- mesh-sharding overhead on the virtual 8-device CPU mesh.
+    # This host is cgroup-limited to ONE core (nproc=1), so true parallel
+    # scaling is unmeasurable locally; what IS measurable is the overhead
+    # the sharded path adds: 8 device pools timesharing one core should
+    # take ~the single-pool wall time if the sharding machinery (per-pool
+    # sort/refill + the final cross-device reduce) is cheap. Efficiency
+    # here = T_single / T_sharded8 (1.0 = zero overhead); on real multi-
+    # chip hardware per-chip efficiency is bounded by this number. ----
+    if MESH:
+        import subprocess
+        times = {}
+        for devs in (1, 8):
+            env = dict(os.environ, CRAYTPU_PLATFORM="cpu",
+                       XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                                  f" --xla_force_host_platform_device"
+                                  f"_count={devs}"))
+            env.pop("JAX_PLATFORMS", None)
+            p = subprocess.run(
+                [sys.executable, os.path.join(REPO, "scripts",
+                                              "bench_mesh_child.py")],
+                env=env, capture_output=True, text=True, timeout=1800)
+            try:
+                times[devs] = float(p.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError):
+                print(f"mesh child ({devs} dev) failed:\n{p.stderr[-2000:]}",
+                      file=sys.stderr)
+                break
+        if len(times) == 2:
+            out["mesh_overhead_efficiency_virtual8"] = round(
+                times[1] / times[8], 3)
+            print(f"mesh overhead: T1={times[1]:.2f}s "
+                  f"T8={times[8]:.2f}s (1 core, 8 virtual devices)",
+                  file=sys.stderr)
+
     print(json.dumps(out))
+    if golden_fail:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

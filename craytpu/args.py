@@ -27,6 +27,7 @@ Options:
   --nodes <list> Use worker processes at comma-separated addresses
   --shutdown     Ask workers on --nodes to shut down
   --resume <f>   Resume a render from a checkpoint file
+  --nee          Next-event estimation (explicit light sampling)
   --preview [n]  Write a preview PNG every n passes
   --preview-http [port]  Live render view at http://127.0.0.1:<port>/
   --test [n]     Run test n (or all) via pytest

@@ -160,11 +160,18 @@ def main(argv: list[str] | None = None) -> int:
     # (renderer.c:96-117 threads + server.c:369 cluster)
     from craytpu.parallel.pool_shard import (ShardedPoolRenderer,
                                              make_renderer)
+    # --nee: next-event estimation (explicit light sampling, ops/nee.py) —
+    # a lower-variance estimator the reference does not have; renders
+    # differ from the BSDF-sampling goldens by design (unbiased, tested
+    # in tests/test_nee.py)
+    nee = bool(opts.get("nee"))
+    if nee:
+        logging.info("Next-event estimation enabled (--nee)")
     if opts.get("resume") or clustering:
         # persistent checkpoints and the TCP tier are single-device paths
-        r = WavefrontRenderer(cscene, kind=kind)
+        r = WavefrontRenderer(cscene, kind=kind, nee=nee)
     else:
-        r = make_renderer(cscene, kind=kind)
+        r = make_renderer(cscene, kind=kind, nee=nee)
     sharded = isinstance(r, ShardedPoolRenderer)
 
     import jax.numpy as jnp

@@ -50,12 +50,17 @@ class WavefrontRenderer:
     """Compiled render pipeline for one scene + sampler kind."""
 
     def __init__(self, cscene: CompiledScene, kind: str = smp.RANDOM,
-                 bounces: int | None = None, tile_rays: int | None = None):
+                 bounces: int | None = None, tile_rays: int | None = None,
+                 nee: bool = False):
         import os
         from craytpu.utils.jaxsetup import setup_jax
         setup_jax()
         self.cscene = cscene
         self.kind = kind
+        # next-event estimation (--nee): per-lane "previous vertex was
+        # NEE-handled" flag rides in BIT 16 of pdepth (depths are < 2^16),
+        # so the pool permute/refill/shrink machinery needs no new state
+        self.nee = bool(nee)
         self.width = cscene.camera.width
         self.height = cscene.camera.height
         self.max_depth = (bounces if bounces is not None
@@ -123,7 +128,9 @@ class WavefrontRenderer:
         round trip (~70 ms over the tunnel) per bounce for a handful of
         live rays."""
         if k not in self._multi_cache:
-            step_dyn = self._make_step("dynamic", checks=True)
+            step_dyn = self._make_step("dynamic", checks=True,
+                                       nee=self.nee)
+            nee = self.nee
 
             def multi(params, geom, shade, mat_graph, o, d, weight, s,
                       alive, pdepth, final_full, lane):
@@ -137,6 +144,15 @@ class WavefrontRenderer:
 
                 def body(carry, _):
                     o, d, w, fin, s, alive, pd = carry
+                    if nee:
+                        depth = pd & i32(0xFFFF)
+                        prev = (pd >> 16) > 0
+                        alive = alive & (depth < max_depth)
+                        o, d, w, fin, s, alive, prev = step_dyn(
+                            params, geom, shade, mat_graph, o, d, w,
+                            fin, s, alive, depth >= 4, prev)
+                        pd = (depth + 1) | (prev.astype(i32) << 16)
+                        return (o, d, w, fin, s, alive, pd), None
                     # per-path bounce cap (prefs.bounces): the persistent
                     # pool has no outer depth loop to enforce it
                     alive = alive & (pd < max_depth)
@@ -778,14 +794,26 @@ class WavefrontRenderer:
         is far too expensive to pay per bounce)."""
         key = ("pool", k)
         if key not in self._multi_cache:
-            step_dyn = self._make_step("dynamic", checks=True)
+            step_dyn = self._make_step("dynamic", checks=True,
+                                       nee=self.nee)
             max_depth = self.max_depth
+            nee = self.nee
 
             def multi(params, geom, shade, mat_graph, o, d, weight, s,
                       alive, pdepth, delta):
                 params = self.cscene.reg.make_ctx(params)  # hoisted
                 def body(carry, _):
                     o, d, w, dl, s, alive, pd = carry
+                    if nee:
+                        depth = pd & i32(0xFFFF)
+                        prev = (pd >> 16) > 0
+                        alive = alive & (depth < max_depth)
+                        o, d, w, dl, s, alive, prev = step_dyn(
+                            params, geom, shade, mat_graph, o, d, w, dl,
+                            s, alive, depth >= 4, prev)
+                        return (o, d, w, dl, s, alive,
+                                (depth + 1) | (prev.astype(i32) << 16)), \
+                            None
                     # per-path bounce cap (prefs.bounces): the persistent
                     # pool has no outer depth loop to enforce it
                     alive = alive & (pd < max_depth)

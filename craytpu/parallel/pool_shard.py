@@ -61,11 +61,11 @@ class ShardedPoolRenderer(WavefrontRenderer):
 
     def __init__(self, cscene, kind: str = smp.RANDOM,
                  bounces: int | None = None, tile_rays: int | None = None,
-                 mesh: Mesh | None = None):
+                 mesh: Mesh | None = None, nee: bool = False):
         self.mesh = mesh if mesh is not None else default_mesh()
         self.D = int(self.mesh.shape[POOL_AXIS])
         super().__init__(cscene, kind=kind, bounces=bounces,
-                         tile_rays=tile_rays)
+                         tile_rays=tile_rays, nee=nee)
 
     # -- sharding helpers ------------------------------------------------
     def _ns(self, *spec):
@@ -81,8 +81,10 @@ class ShardedPoolRenderer(WavefrontRenderer):
         returns the per-device live-count vector (D,)."""
         key = ("pool_sh", k)
         if key not in self._multi_cache:
-            step_dyn = self._make_step("dynamic", checks=True)
+            step_dyn = self._make_step("dynamic", checks=True,
+                                       nee=self.nee)
             max_depth = self.max_depth
+            nee = self.nee
             pool = P(POOL_AXIS)
             rep = P()
 
@@ -91,6 +93,18 @@ class ShardedPoolRenderer(WavefrontRenderer):
                 params = self.cscene.reg.make_ctx(params)  # hoisted
                 def body(carry, _):
                     o, d, w, dl, s, alive, pd = carry
+                    if nee:
+                        # NEE prev flag rides in bit 16 of pdepth (see
+                        # WavefrontRenderer.__init__)
+                        depth = pd & jnp.int32(0xFFFF)
+                        prev = (pd >> 16) > 0
+                        alive = alive & (depth < max_depth)
+                        o, d, w, dl, s, alive, prev = step_dyn(
+                            params, geom, shade, mat_graph, o, d, w, dl,
+                            s, alive, depth >= 4, prev)
+                        return (o, d, w, dl, s, alive,
+                                (depth + 1) | (prev.astype(i32) << 16)), \
+                            None
                     alive = alive & (pd < max_depth)
                     o, d, w, dl, s, alive = step_dyn(
                         params, geom, shade, mat_graph, o, d, w, dl, s,
@@ -357,11 +371,11 @@ class ShardedPoolRenderer(WavefrontRenderer):
 
 def make_renderer(cscene, kind: str = smp.RANDOM,
                   bounces: int | None = None,
-                  tile_rays: int | None = None):
+                  tile_rays: int | None = None, nee: bool = False):
     """The product's renderer factory: sharded over all local devices
     when more than one is visible, plain single-device otherwise."""
     if len(jax.devices()) > 1:
         return ShardedPoolRenderer(cscene, kind=kind, bounces=bounces,
-                                   tile_rays=tile_rays)
+                                   tile_rays=tile_rays, nee=nee)
     return WavefrontRenderer(cscene, kind=kind, bounces=bounces,
-                             tile_rays=tile_rays)
+                             tile_rays=tile_rays, nee=nee)

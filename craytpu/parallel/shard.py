@@ -134,12 +134,63 @@ def make_loss_fn(r: WavefrontRenderer, mesh: Mesh, depth: int | None = None):
     return loss_shard
 
 
+def make_geom_loss_fn(r: WavefrontRenderer, mesh: Mesh, scene,
+                      depth: int | None = None, edge_samples: int = 32):
+    """Like make_loss_fn but ALSO differentiable w.r.t. geometry:
+
+      loss(params, tri_packed, xs, ys, target, base_pass) -> scalar
+
+    The interior term uses the vertex-differentiable trace
+    (diff_geometry=True: hit records recomputed from tri_packed) and the
+    silhouette discontinuity enters through the edge-aware boundary
+    estimator (ops/edge_grad.py), composed per shard: the boundary
+    custom-VJP is linear in the image cotangent, so each ray shard feeds
+    it only its own pixels' cotangent rows and the psum of the resulting
+    tri_packed grads is exactly the full-frame boundary gradient. (Each
+    shard re-evaluates all E edges' side rays in its backward — edge
+    work is tiny next to the trace; noted, not sharded.)
+    """
+    from craytpu.ops.edge_grad import make_edge_grad_fn
+    d = depth if depth is not None else r.max_depth
+    trace_g = r.make_trace_fn(d, diff_geometry=True)
+    boundary = make_edge_grad_fn(r.cscene, scene, r, depth=d,
+                                 samples_per_edge=edge_samples)
+    n_sample = mesh.shape[SAMPLE_AXIS]
+    width = r.width
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS),
+                       P(RAY_AXIS, None), P()),
+             out_specs=P())
+    def loss_shard(params, tri_packed, xs, ys, target, base_pass):
+        pass_idx = base_pass + jax.lax.axis_index(SAMPLE_AXIS).astype(i32)
+        rad = trace_g(params, tri_packed, xs, ys, pass_idx, i32(n_sample))
+        # boundary term: zero forward, full-frame raster-order VJP —
+        # gather this shard's pixel rows (the gather's transpose scatters
+        # the shard's cotangent into the frame-sized buffer the edge
+        # estimator expects)
+        flat = ys.astype(i32) * i32(width) + xs.astype(i32)
+        rad = rad + boundary(params, tri_packed, pass_idx,
+                             i32(n_sample))[flat]
+        rad = jax.lax.pmean(rad, SAMPLE_AXIS)
+        err = (rad[..., :3] - target) ** 2
+        total = jax.lax.psum(jnp.sum(err), RAY_AXIS)
+        n = jax.lax.psum(jnp.float32(err.size), RAY_AXIS)
+        return total / n
+
+    return loss_shard
+
+
 def make_train_step(r: WavefrontRenderer, mesh: Mesh,
-                    depth: int | None = None, learning_rate: float = 1e-2):
+                    depth: int | None = None, learning_rate: float = 1e-2,
+                    geometry: bool = False, scene=None,
+                    edge_samples: int = 32):
     """Full inverse-rendering training step, jitted over the mesh.
 
-    step(params, opt_state, xs, ys, target, base_pass)
-      -> (params', opt_state', loss)
+    step(theta, opt_state, xs, ys, target, base_pass)
+      -> (theta', opt_state', loss)
+
+    theta is ShadeParams, or (ShadeParams, tri_packed) with geometry=True.
 
     Differentiates the wavefront path trace w.r.t. every ShadeParams leaf
     (material colors, scalar values, vectors, texture texels, legacy
@@ -147,20 +198,41 @@ def make_train_step(r: WavefrontRenderer, mesh: Mesh,
     over the mesh inside the loss's psum (the AD transpose of psum is the
     broadcast, so every device applies the identical update — the analogue
     of the all-reduced gradient step in BASELINE.md's north star).
+
+    geometry=True (requires the loaded `scene` for the mesh edge table)
+    additionally optimizes the packed triangle rows: interior vertex
+    gradients through the differentiable hit records PLUS the
+    edge-aware silhouette boundary term (make_geom_loss_fn). The BVH and
+    the MXU search coefficients stay frozen at their compile-time values —
+    recompile the scene every K steps if vertices move far.
     """
     import optax
-    loss_fn = make_loss_fn(r, mesh, depth)
+    if geometry:
+        if scene is None:
+            raise ValueError("geometry=True needs the loaded scene "
+                             "(edge table source)")
+        geom_loss = make_geom_loss_fn(r, mesh, scene, depth, edge_samples)
+
+        def loss_fn(theta, xs, ys, target, base_pass):
+            params, tri_packed = theta
+            return geom_loss(params, tri_packed, xs, ys, target,
+                             base_pass)
+    else:
+        shade_loss = make_loss_fn(r, mesh, depth)
+
+        def loss_fn(theta, xs, ys, target, base_pass):
+            return shade_loss(theta, xs, ys, target, base_pass)
     opt = optax.adam(learning_rate)
 
     @jax.jit
-    def step(params, opt_state, xs, ys, target, base_pass):
-        loss, grads = jax.value_and_grad(loss_fn)(params, xs, ys, target,
+    def step(theta, opt_state, xs, ys, target, base_pass):
+        loss, grads = jax.value_and_grad(loss_fn)(theta, xs, ys, target,
                                                   base_pass)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        updates, opt_state = opt.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return theta, opt_state, loss
 
-    def init(params):
-        return opt.init(params)
+    def init(theta):
+        return opt.init(theta)
 
     return step, init

@@ -8,68 +8,21 @@ accumulation rounding. Goldens were produced by `.refbuild/bin/c-ray
 oracle, run with CWD-style asset resolution against /root/reference/input
 so both renderers see the identical asset set, including the known-missing
 large blobs). A shading/traversal regression anywhere in the pipeline
-fails this test.
+fails this test. The SAME comparison also gates the TPU bench path
+(bench.py runs craytpu.utils.golden.render_and_compare on its backend).
 """
 
-import os
-
-import numpy as np
 import pytest
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCENES = ["scene", "hdr", "refraction", "glowmetal", "uvsphere",
-          "alphanode", "fence", "venus", "statues",
-          "stress_highpoly", "stress_instances"]
-W, H, SPP = 80, 50, 4
+from craytpu.utils import golden as g
 
 
-def scene_path(name):
-    if name.startswith("stress_"):
-        return os.path.join(REPO, "assets", f"{name}.json")
-    return f"/root/reference/input/{name}.json"
-
-# minimum fraction of subpixels within 1 8-bit LSB of the oracle; float
-# accumulation order differs (C: per-thread running mean), so exact match
-# is not expected on noisy pixels
-MIN_WITHIN_1LSB = 0.985
-MAX_MEAN_ABS = 1.0
-
-
-def srgb_u8(fb: np.ndarray) -> np.ndarray:
-    """float framebuffer (H,W,4, y-up) -> 8-bit sRGB rows top-down
-    (renderer.c:297-300 + colorToSRGB + setPixel clamp)."""
-    rgb = fb[..., :3]
-    srgb = np.where(rgb > 0.0031308,
-                    1.055 * np.power(np.maximum(rgb, 1e-12), 1 / 2.4)
-                    - 0.055,
-                    12.92 * rgb)
-    u8 = np.minimum(np.maximum(srgb * 255.0 + 0.5, 0.0),
-                    255.0).astype(np.uint8)
-    return u8[::-1]
-
-
-@pytest.mark.parametrize("name", SCENES)
+@pytest.mark.parametrize("name", g.SCENES)
 def test_golden(name):
-    from PIL import Image
-    golden_path = os.path.join(REPO, "goldens", f"{name}_{W}_{SPP}.png")
-    if not os.path.exists(golden_path):
+    ok, within, mean_abs = g.render_and_compare(name)
+    if ok is None:
         pytest.skip(f"no golden for {name}")
-    golden = np.asarray(Image.open(golden_path).convert("RGB"))
-
-    from craytpu.scene.sceneloader import load_scene_from_file
-    from craytpu.scene.compile import compile_scene
-    from craytpu.models.wavefront_pt import WavefrontRenderer
-
-    scene = load_scene_from_file(
-        scene_path(name), {"width": W, "height": H, "samples": SPP})
-    r = WavefrontRenderer(compile_scene(scene))
-    fb = r.render(spp=SPP)
-    ours = srgb_u8(np.asarray(fb))
-
-    d = np.abs(ours.astype(np.int32) - golden.astype(np.int32))
-    within = (d <= 1).mean()
-    assert within >= MIN_WITHIN_1LSB, (
-        f"{name}: only {within:.4f} of subpixels within 1 LSB "
-        f"(max|d|={d.max()}, mean|d|={d.mean():.4f})")
-    assert d.mean() <= MAX_MEAN_ABS, (
-        f"{name}: mean abs diff {d.mean():.4f} too high")
+    assert ok, (
+        f"{name}: {within:.4f} of subpixels within 1 LSB "
+        f"(need >= {g.MIN_WITHIN_1LSB}), mean|d|={mean_abs:.4f} "
+        f"(need <= {g.MAX_MEAN_ABS})")

@@ -147,3 +147,33 @@ def test_nee_gradients_match_fd():
     ad = float(np.asarray(g.emission)[k, 0])
     assert fd != 0.0
     np.testing.assert_allclose(ad, fd, rtol=2e-3, atol=1e-6)
+
+
+def test_nee_persistent_pool_matches_trace():
+    """The product's --nee path: the persistent pool (prev-NEE flag in
+    bit 16 of pdepth) and the batched multi-step path must produce the
+    SAME image as the validated fixed-depth NEE trace — identical
+    per-(pixel, pass) streams, so equality is near-exact (float
+    accumulation order only)."""
+    scene = load_scene_from_buf(json.dumps(GRAD_SCENE))
+    cs = compile_scene(scene)
+    depth = cs.prefs.bounces
+    spp = 4
+    r = WavefrontRenderer(cs, nee=True)
+    W, H = r.width, r.height
+    xs = jnp.asarray(np.tile(np.arange(W, dtype=np.int32), H))
+    ys = jnp.asarray(np.repeat(np.arange(H, dtype=np.int32), W))
+
+    trace = jax.jit(r.make_trace_fn(depth=depth, nee=True))
+    want = np.zeros((H, W, 4), np.float32)
+    for p in range(spp):
+        img = np.asarray(trace(cs.params, xs, ys, jnp.int32(p),
+                               jnp.int32(spp)))
+        want += img.reshape(H, W, 4)
+    want /= spp
+
+    got_pool = np.asarray(r.render_persistent(spp=spp))
+    np.testing.assert_allclose(got_pool, want, rtol=1e-5, atol=1e-6)
+
+    got_batch = np.asarray(r.render(spp=spp))
+    np.testing.assert_allclose(got_batch, want, rtol=1e-5, atol=1e-6)
