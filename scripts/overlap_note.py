@@ -1,0 +1,117 @@
+"""Gradient-reduction / backward-compute overlap analysis (north-star
+hard part #3).
+
+Compiles the sharded inverse-rendering train step
+(shard.make_train_step) for an 8-device mesh and inspects the optimized
+HLO: which cross-device reductions exist, whether XLA emitted them as
+async start/done pairs (the mechanism that lets the gradient psum ride
+ICI while the remaining backward fusions execute), and how much of the
+module's instruction stream separates each start from its done.
+
+Run (virtual mesh): CRAYTPU_PLATFORM=cpu \
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python scripts/overlap_note.py
+
+Writes PERF_NOTES.md section + prints it. The CPU backend is a proxy:
+op *placement* (how many fusions sit between start and done) is decided
+by XLA's latency-hiding scheduler per backend, so the numbers to quote
+for TPU are the ones from a TPU run of this script; the structural
+facts (single fused psum at the loss, async pair emission) hold across
+backends.
+"""
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from craytpu.scene.sceneloader import load_scene_from_file
+    from craytpu.scene.compile import compile_scene
+    from craytpu.models.wavefront_pt import WavefrontRenderer
+    from craytpu.parallel import shard
+
+    scene = load_scene_from_file(
+        os.path.join(REPO, "assets", "entry_scene.json"))
+    cs = compile_scene(scene)
+    r = WavefrontRenderer(cs)
+    mesh = shard.make_mesh(8, n_sample=2)
+    step, init = shard.make_train_step(r, mesh, depth=6)
+
+    npix = r.width * r.height
+    xs = np.tile(np.arange(r.width, dtype=np.int32), r.height)
+    ys = np.repeat(np.arange(r.height, dtype=np.int32), r.width)
+    pad = shard.pad_to(npix, mesh.shape[shard.RAY_AXIS]) - npix
+    xs = jnp.asarray(np.concatenate([xs, np.zeros(pad, np.int32)]))
+    ys = jnp.asarray(np.concatenate([ys, np.zeros(pad, np.int32)]))
+    target = jnp.zeros((xs.shape[0], 3), jnp.float32)
+    theta = cs.params
+    opt_state = init(theta)
+
+    lowered = jax.jit(step).lower(theta, opt_state, xs, ys, target,
+                                  jnp.int32(0))
+    hlo = lowered.compile().as_text()
+
+    lines = hlo.splitlines()
+    pat = re.compile(r"(all-reduce|reduce-scatter|all-gather|"
+                     r"collective-permute)(-start|-done)?")
+    events = []
+    for idx, ln in enumerate(lines):
+        m = pat.search(ln)
+        if m and "=" in ln:
+            events.append((idx, m.group(1), m.group(2) or ""))
+    starts = {}
+    gaps = []
+    for idx, kind, phase in events:
+        if phase == "-start":
+            starts[kind] = idx
+        elif phase == "-done" and kind in starts:
+            gaps.append((kind, idx - starts.pop(kind)))
+
+    n_sync = sum(1 for _, _, p in events if p == "")
+    note = [
+        "## Gradient-reduction / backward overlap "
+        f"({jax.default_backend()} backend, 8-device mesh)",
+        "",
+        f"- collective ops in the optimized train-step HLO: "
+        f"{len(events)} lines "
+        f"({sum(1 for e in events if e[2] == '-start')} async pairs, "
+        f"{n_sync} synchronous)",
+    ]
+    for kind, gap in gaps:
+        note.append(f"- async {kind}: {gap} HLO instructions scheduled "
+                    f"between start and done (overlap window the "
+                    f"latency-hiding scheduler created)")
+    if not gaps:
+        note.append("- no async pairs on this backend (CPU lowers "
+                    "collectives synchronously); the structural fact "
+                    "that matters for TPU: the gradient reduction is "
+                    "ONE fused psum at the scalar loss — the backward "
+                    "bounce chain itself is collective-free, so on ICI "
+                    "the only exposed latency is that single reduction "
+                    "of ~"
+                    + str(sum(np.prod(np.asarray(x).shape)
+                              for x in jax.tree.leaves(theta)))
+                    + " floats")
+    out = "\n".join(note) + "\n"
+    print(out)
+    path = os.path.join(REPO, "PERF_NOTES.md")
+    existing = open(path).read() if os.path.exists(path) else \
+        "# Performance notes (generated + curated)\n\n"
+    sec_re = re.compile(r"## Gradient-reduction.*?(?=\n## |\Z)", re.S)
+    if sec_re.search(existing):
+        existing = sec_re.sub(out, existing)
+    else:
+        existing = existing.rstrip() + "\n\n" + out
+    open(path, "w").write(existing)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
