@@ -16,6 +16,8 @@ division in textureGetPixelInternal.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -75,8 +77,11 @@ def fetch_bilinear(texels, meta, u, v):
 
 # textures up to this many texels use the single-gather quad path; larger
 # ones (big HDR env maps) fall back to 4 gathers rather than paying the
-# per-step quad-table build
-QUAD_MAX_TEXELS = 1 << 22
+# per-step quad-table build: the (h*w, 16) table costs ~4 texture-sized
+# row-gathers + a 16x-texture write per step, which only amortizes when
+# the texel count is well below the wavefront lane count (1M on TPU)
+QUAD_MAX_TEXELS = int(os.environ.get("CRAYTPU_QUAD_MAX_TEXELS",
+                                     str(1 << 18)))
 
 
 def build_quad_index(meta) -> np.ndarray:

@@ -1,0 +1,69 @@
+"""Unattended TPU perf sweep: one subprocess per configuration, strictly
+serialized (TWO concurrent TPU processes crash the axon worker).
+
+Each configuration runs bench.py forward-only at reduced pass count and
+appends one JSON line to the output file; analyze afterwards and target
+the winners. Configurations cover the round-3 levers from VERDICT:
+kernel ablations (what the per-visit epilogue really costs), shading
+chunk policy, pool bounce fusion, and kernel block geometry.
+
+Usage: python scripts/perf_sweep.py [out.jsonl]   (default /tmp/sweep.jsonl)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep.jsonl"
+
+BASE = {"BENCH_GRAD": "0", "BENCH_GOLDEN": "0", "BENCH_MESH": "0",
+        "BENCH_PASSES": "4", "BENCH_WARMUP": "1"}
+
+CONFIGS = [
+    ("baseline", {}),
+    # kernel ablations: measure the cost stack of a visit
+    ("ablate_novisit", {"CRAYTPU_FLASH_ABLATE": "novisit"}),
+    ("ablate_noepilogue", {"CRAYTPU_FLASH_ABLATE": "noepilogue"}),
+    ("ablate_noextract", {"CRAYTPU_FLASH_ABLATE": "noextract"}),
+    # shading policy: unchunked (new default) vs 64k chunks (old default)
+    ("shade_chunk64k", {"CRAYTPU_SHADE_CHUNK": "65536"}),
+    # pool bounce fusion at full occupancy
+    ("pool_k2", {"CRAYTPU_POOL_K": "2"}),
+    # kernel geometry
+    ("rb512", {"CRAYTPU_RAY_BLOCK": "512"}),
+    ("sb16", {"CRAYTPU_SB_BLOCKS": "16"}),
+]
+
+
+def main():
+    results = []
+    for name, env_over in CONFIGS:
+        env = dict(os.environ, **BASE, **env_over)
+        t0 = time.time()
+        p = subprocess.run(
+            [sys.executable, "-u", os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=2400)
+        line = None
+        for ln in (p.stdout or "").strip().splitlines()[::-1]:
+            if ln.startswith("{"):
+                line = json.loads(ln)
+                break
+        rec = {"config": name, "env": env_over,
+               "wall_s": round(time.time() - t0, 1),
+               "rc": p.returncode,
+               "paths_per_sec": line.get("value") if line else None}
+        if line is None:
+            rec["stderr_tail"] = (p.stderr or "")[-800:]
+        results.append(rec)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+        time.sleep(10)       # let the axon worker settle between runs
+    print(f"\nwrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
