@@ -172,6 +172,9 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
     # "noepilogue" = matmul + one reduce only, "noextract" = full valid
     # math but no winner-id extraction
     ABLATE = os.environ.get("CRAYTPU_FLASH_ABLATE", "")
+    # CRAYTPU_FLASH_EPI=lean: division-light winner epilogue (A/B
+    # candidate; same accept set up to 1-ulp rounding at t==best)
+    EPI = os.environ.get("CRAYTPU_FLASH_EPI", "")
     if DEBUG:
         dbg[0] = i32(0)
         dbg[1] = i32(0)
@@ -331,20 +334,47 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                         ud = q3[1 * TRI_BLOCK:2 * TRI_BLOCK]
                         vd = q3[2 * TRI_BLOCK:3 * TRI_BLOCK]
                         td = q3[3 * TRI_BLOCK:4 * TRI_BLOCK]
-                        inv = f32(1.0) / det
-                        u = ud * inv
-                        v = vd * inv
-                        t = td * inv
-                        # (u>=0 & v>=0) as one min+cmp; (t>=0 & t<bt) as
-                        # ONE unsigned compare: non-negative f32 order
-                        # equals their uint order, negatives/NaN/inf get
-                        # the sign/exponent bits and fail
-                        valid = ((jnp.minimum(u, v) >= f32(0.0))
-                                 & (u + v <= f32(1.0))
-                                 & (t.view(jnp.uint32)
-                                    < jnp.broadcast_to(
-                                        bt, t.shape).view(jnp.uint32)))
-                        t = jnp.where(valid, t, FLT_MAX)
+                        if EPI == "lean":
+                            # division-light epilogue: validity via
+                            # sign-FLIPPED numerators (x^sign(det) has
+                            # the sign of x/det; u/det>=0 etc. become
+                            # float compares against |det| with NO
+                            # divide), then ONE divide for the t values
+                            # the reduce needs. Same accept/reject set:
+                            # det==0 -> |det|==0 rejects everything just
+                            # as inv=inf/NaN does in the classic chain.
+                            u32v = jnp.uint32
+                            sgn = det.view(u32v) & jnp.uint32(0x80000000)
+                            us = (ud.view(u32v) ^ sgn).view(f32)
+                            vs = (vd.view(u32v) ^ sgn).view(f32)
+                            ts = (td.view(u32v) ^ sgn).view(f32)
+                            ad = (det.view(u32v)
+                                  & jnp.uint32(0x7FFFFFFF)).view(f32)
+                            # ts>=0 & ts/ad<bt as ONE unsigned compare
+                            # (both sides non-negative floats). ad is
+                            # clamped so bt(=0 on dead lanes) * ad(=inf
+                            # on overflowed dets) cannot make a NaN that
+                            # u32-compares as "accept"
+                            btad = bt * jnp.minimum(ad, f32(3e37))
+                            valid = ((jnp.minimum(us, vs) >= f32(0.0))
+                                     & (us + vs <= ad)
+                                     & (ts.view(u32v) < btad.view(u32v)))
+                            t = jnp.where(valid, ts / ad, FLT_MAX)
+                        else:
+                            inv = f32(1.0) / det
+                            u = ud * inv
+                            v = vd * inv
+                            t = td * inv
+                            # (u>=0 & v>=0) as one min+cmp; (t>=0 & t<bt)
+                            # as ONE unsigned compare: non-negative f32
+                            # order equals their uint order, negatives/
+                            # NaN/inf get the sign/exponent bits and fail
+                            valid = ((jnp.minimum(u, v) >= f32(0.0))
+                                     & (u + v <= f32(1.0))
+                                     & (t.view(jnp.uint32)
+                                        < jnp.broadcast_to(
+                                            bt, t.shape).view(jnp.uint32)))
+                            t = jnp.where(valid, t, FLT_MAX)
                         tmin = jnp.min(t, axis=0, keepdims=True)
                         upd = tmin < bt
                         if ABLATE == "noextract":
@@ -467,10 +497,16 @@ def build_flash2_fn(meta: dict):
     vmem_limit = min(int(W_pad.size) * 2 + (32 << 20), 110 << 20) \
         if resident else (48 << 20)
 
+    # CRAYTPU_FLASH_INTERPRET=1: run the kernel in Pallas interpret mode
+    # (CPU) — used by tests/test_flash2_interpret.py to validate kernel
+    # edits for winner parity without the TPU
+    interpret = bool(os.environ.get("CRAYTPU_FLASH_INTERPRET"))
+
     def flash(rays_T, limit_T):
         nrb = rays_T.shape[0]
         return pl.pallas_call(
             kern,
+            interpret=interpret,
             grid=(nrb,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # mesh_plan

@@ -28,6 +28,8 @@ CONFIGS = [
     ("ablate_novisit", {"CRAYTPU_FLASH_ABLATE": "novisit"}),
     ("ablate_noepilogue", {"CRAYTPU_FLASH_ABLATE": "noepilogue"}),
     ("ablate_noextract", {"CRAYTPU_FLASH_ABLATE": "noextract"}),
+    # division-light winner epilogue (bitwise-sign validity)
+    ("epi_lean", {"CRAYTPU_FLASH_EPI": "lean"}),
     # shading policy: unchunked (new default) vs 64k chunks (old default)
     ("shade_chunk64k", {"CRAYTPU_SHADE_CHUNK": "65536"}),
     # pool bounce fusion at full occupancy
