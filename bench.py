@@ -36,10 +36,61 @@ PASSES = int(os.environ.get("BENCH_PASSES", "8"))
 GRAD = os.environ.get("BENCH_GRAD", "1") != "0"
 GOLDEN = os.environ.get("BENCH_GOLDEN", "1") != "0"
 MESH = os.environ.get("BENCH_MESH", "1") != "0"
+MFU = os.environ.get("BENCH_MFU", "1") != "0"
+V5E_PEAK_BF16 = 197e12   # flops/s, one v5e chip
 BASELINE_PATHS_PER_S = 1.33e6
 # the compiled C reference on THIS host (2 visible cores): measured
 # 0.44 Mpaths/s at 1080p scene.json (BASELINE.md) — a second anchor
 C_REF_THIS_HOST = 0.44e6
+
+
+def mfu_probe(r):
+    """Kernel MFU on the Morton-sorted primary wavefront: time the
+    production flash2 kernel, then count MXU block visits with an
+    identically-shaped debug trace (CRAYTPU_FLASH_DEBUG is read at trace
+    time, so both variants live in one process — NEVER spawn a second
+    TPU process here, two concurrent clients crash the axon worker)."""
+    import time as _time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from craytpu.ops import flash2 as fx2
+    from craytpu.ops.dense_isect import TRI_BLOCK
+
+    cs = r.cscene
+    B = r.tile_rays
+    xs, ys, _, _, _, _ = r._pixel_schedule
+    o, d, _ = r._init_rays(xs[:B], ys[:B], jnp.int32(0), jnp.int32(16))
+    order = jnp.argsort(r._morton_key()(o, d, jnp.ones(B, bool)))
+    o, d = o[order], d[order]
+    nrb = (B + fx2.RAY_BLOCK - 1) // fx2.RAY_BLOCK
+    rays = fx2.pack_rays_T(o, d)
+    lim = fx2.pack_limit(jnp.full((B,), fx2.FLT_MAX, jnp.float32), nrb)
+
+    flash = jax.jit(fx2.build_flash2_fn(cs.dense_meta))
+    jax.block_until_ready(flash(rays, lim))
+    t0 = _time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        res = flash(rays, lim)
+    jax.block_until_ready(res)
+    dt = (_time.perf_counter() - t0) / reps
+
+    os.environ["CRAYTPU_FLASH_DEBUG"] = "1"
+    try:
+        dbg = jax.jit(fx2.build_flash2_fn(cs.dense_meta))
+        _, p, _ = dbg(rays, lim)
+        visits = int(np.asarray(p[:, 0, 0]).sum())
+    finally:
+        del os.environ["CRAYTPU_FLASH_DEBUG"]
+    flops = visits * 2.0 * (4 * fx2.PHI_DIM) * (4 * TRI_BLOCK) \
+        * fx2.RAY_BLOCK
+    return {
+        "kernel_visits_per_rayblock_bounce0": round(visits / nrb, 2),
+        "kernel_us_per_visit_bounce0": round(dt / max(visits, 1) * 1e6,
+                                             3),
+        "kernel_mfu_bounce0": round(flops / dt / V5E_PEAK_BF16, 4),
+    }
 
 
 def main():
@@ -110,6 +161,20 @@ def main():
     }
     if fwd_bwd_pps is not None:
         out["fwd_bwd_paths_per_sec"] = round(fwd_bwd_pps, 1)
+
+    # ---- MFU probe: how busy is the MXU during the closest-hit search?
+    # Times the flash2 kernel on a REALISTIC state (the Morton-sorted
+    # primary wavefront) and counts MXU block visits with the kernel's
+    # debug counters in a second, identically-shaped call. One visit =
+    # one (4*PHI x 4*TB) @ (4*PHI x RB) double-bf16 matmul. Low MFU here
+    # means the search is epilogue/overhead-bound, not FLOP-bound —
+    # record it so "is the chip busy" is answerable from artifacts. ----
+    if MFU and jax.default_backend() != "cpu" and not r.empty_scene \
+            and r.traversal_mode == "flash":
+        try:
+            out.update(mfu_probe(r))
+        except Exception as e:              # noqa: BLE001 — best-effort
+            print(f"mfu probe failed: {e}", file=sys.stderr)
 
     # ---- golden gate on THIS backend: a TPU-only shading/kernel
     # regression must not produce a green round (VERDICT r2 #4). Renders

@@ -30,6 +30,9 @@ CONFIGS = [
     ("ablate_noextract", {"CRAYTPU_FLASH_ABLATE": "noextract"}),
     # division-light winner epilogue (bitwise-sign validity)
     ("epi_lean", {"CRAYTPU_FLASH_EPI": "lean"}),
+    # vectorized-culling kernel (phase-0/1/2 population passes)
+    ("v3", {"CRAYTPU_FLASH_V3": "1"}),
+    ("v3_lean", {"CRAYTPU_FLASH_V3": "1", "CRAYTPU_FLASH_EPI": "lean"}),
     # shading policy: unchunked (new default) vs 64k chunks (old default)
     ("shade_chunk64k", {"CRAYTPU_SHADE_CHUNK": "65536"}),
     # pool bounce fusion at full occupancy
