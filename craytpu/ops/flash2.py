@@ -103,6 +103,25 @@ def pack_rays_T(o, d):
     return rays.reshape(nrb, RAY_BLOCK, 8).transpose(0, 2, 1)
 
 
+def _natrays() -> bool:
+    """CRAYTPU_FLASH_NATRAYS=1: kernel takes natural-layout (NRB, RB, 8)
+    ray blocks (pack_rays_nat) and transposes in-kernel, instead of the
+    pool-wide XLA lane transpose (pack_rays_T). Read at TRACE time."""
+    return os.environ.get("CRAYTPU_FLASH_NATRAYS", "0") == "1"
+
+
+def pack_rays_nat(o, d):
+    """(B,3),(B,3) -> (NRB, RAY_BLOCK, 8) NATURAL-layout ray blocks:
+    a reshape, not a transpose."""
+    B = o.shape[0]
+    nrb = max((B + RAY_BLOCK - 1) // RAY_BLOCK, 1)
+    pad = nrb * RAY_BLOCK - B
+    rays = jnp.concatenate([o, d, jnp.zeros((B, 2), f32)], axis=1)
+    if pad:
+        rays = jnp.concatenate([rays, jnp.zeros((pad, 8), f32)], axis=0)
+    return rays.reshape(nrb, RAY_BLOCK, 8)
+
+
 def pack_limit(limit, nrb):
     B = limit.shape[0]
     pad = nrb * RAY_BLOCK - B
@@ -154,12 +173,24 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
     wbuf:        (2, SB_BLOCKS, PHI_DIM, 4*TB) f32 VMEM double buffer
     sems:        (2,) DMA semaphores; sb_list: (nsb_max,) i32 SMEM worklist
     """
-    o_x = rays_ref[0, 0:1, :]
-    o_y = rays_ref[0, 1:2, :]
-    o_z = rays_ref[0, 2:3, :]
-    d_x = rays_ref[0, 3:4, :]
-    d_y = rays_ref[0, 4:5, :]
-    d_z = rays_ref[0, 5:6, :]
+    if _natrays():
+        # natural-layout rays (NRB, RB, 8): ONE in-kernel transpose per
+        # ray block replaces the XLA-side lane transpose of the whole
+        # pool (pack_rays_T measured ~15 ms per step at 1M lanes)
+        rT = rays_ref[0].T                       # (8, RB)
+        o_x = rT[0:1]
+        o_y = rT[1:2]
+        o_z = rT[2:3]
+        d_x = rT[3:4]
+        d_y = rT[4:5]
+        d_z = rT[5:6]
+    else:
+        o_x = rays_ref[0, 0:1, :]
+        o_y = rays_ref[0, 1:2, :]
+        o_z = rays_ref[0, 2:3, :]
+        d_x = rays_ref[0, 3:4, :]
+        d_y = rays_ref[0, 4:5, :]
+        d_z = rays_ref[0, 5:6, :]
 
     best_t = limit_ref[0]
     best_p = jnp.full((1, RAY_BLOCK), -1, i32)
@@ -489,12 +520,24 @@ def _kernel3(plan_ref, mesh_rows_ref, sph_rows_ref, bb_ref, sbbb_ref,
     reduce); bb/sbbb live in VMEM padded so every pl.ds window is in
     range; plan_ref keeps the SMEM scalars (block ranges, prim bases).
     """
-    o_x = rays_ref[0, 0:1, :]
-    o_y = rays_ref[0, 1:2, :]
-    o_z = rays_ref[0, 2:3, :]
-    d_x = rays_ref[0, 3:4, :]
-    d_y = rays_ref[0, 4:5, :]
-    d_z = rays_ref[0, 5:6, :]
+    if _natrays():
+        # natural-layout rays (NRB, RB, 8): ONE in-kernel transpose per
+        # ray block replaces the XLA-side lane transpose of the whole
+        # pool (pack_rays_T measured ~15 ms per step at 1M lanes)
+        rT = rays_ref[0].T                       # (8, RB)
+        o_x = rT[0:1]
+        o_y = rT[1:2]
+        o_z = rT[2:3]
+        d_x = rT[3:4]
+        d_y = rT[4:5]
+        d_z = rT[5:6]
+    else:
+        o_x = rays_ref[0, 0:1, :]
+        o_y = rays_ref[0, 1:2, :]
+        o_z = rays_ref[0, 2:3, :]
+        d_x = rays_ref[0, 3:4, :]
+        d_y = rays_ref[0, 4:5, :]
+        d_z = rays_ref[0, 5:6, :]
 
     best_t = limit_ref[0]
     best_p = jnp.full((1, RAY_BLOCK), -1, i32)
@@ -888,8 +931,10 @@ def build_flash2_fn(meta: dict):
     # edits for winner parity without the TPU
     interpret = bool(os.environ.get("CRAYTPU_FLASH_INTERPRET"))
 
+    ray_block_shape = (1, RAY_BLOCK, 8) if _natrays() \
+        else (1, 8, RAY_BLOCK)
     ray_specs = [
-        pl.BlockSpec((1, 8, RAY_BLOCK), lambda i: (i, 0, 0),
+        pl.BlockSpec(ray_block_shape, lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # rays
         pl.BlockSpec((1, 1, RAY_BLOCK), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # limit

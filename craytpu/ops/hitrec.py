@@ -175,9 +175,11 @@ def make_isect_fn(cscene, mode: str, diff: bool = False):
         hitrec = make_hitrec_fn(dm["tri_wide"], dm["inst_wide"],
                                 dm["sphere_uv"], diff)
 
+        pack = fx2.pack_rays_nat if fx2._natrays() else fx2.pack_rays_T
+
         def isect(geom, o_w, d_w, alive):
             B = o_w.shape[0]
-            rays_T = fx2.pack_rays_T(o_w, d_w)
+            rays_T = pack(o_w, d_w)
             limit = jnp.where(alive, f32(FLT_MAX), f32(0.0))
             t, p, ii = flash(rays_T, fx2.pack_limit(limit, rays_T.shape[0]))
             t_k = t.reshape(-1)[:B]

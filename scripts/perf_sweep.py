@@ -33,6 +33,12 @@ CONFIGS = [
     # vectorized-culling kernel (phase-0/1/2 population passes)
     ("v3", {"CRAYTPU_FLASH_V3": "1"}),
     ("v3_lean", {"CRAYTPU_FLASH_V3": "1", "CRAYTPU_FLASH_EPI": "lean"}),
+    # natural-layout rays: in-kernel transpose replaces pack_rays_T
+    ("v3_natrays", {"CRAYTPU_FLASH_V3": "1",
+                    "CRAYTPU_FLASH_NATRAYS": "1"}),
+    ("v3_lean_natrays", {"CRAYTPU_FLASH_V3": "1",
+                         "CRAYTPU_FLASH_EPI": "lean",
+                         "CRAYTPU_FLASH_NATRAYS": "1"}),
     # shading policy: unchunked (new default) vs 64k chunks (old default)
     ("shade_chunk64k", {"CRAYTPU_SHADE_CHUNK": "65536"}),
     # pool bounce fusion at full occupancy
