@@ -30,7 +30,7 @@ def setup_jax(cache_dir: str | None = None) -> None:
     # relative, which makes bounced rays SELF-INTERSECT spheres (measured:
     # 99.9% false re-hit rate on TPU, 0% on CPU) and darkens every sphere
     # scene several-fold. Geometry math must be f32; kernels that want bf16
-    # (flash_isect's search) request it explicitly.
+    # (flash2's search) request it explicitly.
     try:
         jax.config.update("jax_default_matmul_precision", "highest")
     except Exception:

@@ -7,7 +7,8 @@ the winners. Configurations cover the round-3 levers from VERDICT:
 kernel ablations (what the per-visit epilogue really costs), shading
 chunk policy, pool bounce fusion, and kernel block geometry.
 
-Usage: python scripts/perf_sweep.py [out.jsonl]   (default /tmp/sweep.jsonl)
+Usage: python scripts/perf_sweep.py [out.jsonl] [cfg1,cfg2,...]
+(default /tmp/sweep.jsonl, all configs)
 """
 
 import json
@@ -20,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sweep.jsonl"
 
 BASE = {"BENCH_GRAD": "0", "BENCH_GOLDEN": "0", "BENCH_MESH": "0",
-        "BENCH_PASSES": "4", "BENCH_WARMUP": "1"}
+        "BENCH_MFU": "0", "BENCH_PASSES": "4", "BENCH_WARMUP": "1"}
 
 CONFIGS = [
     ("baseline", {}),
@@ -34,6 +35,7 @@ CONFIGS = [
     ("v3", {"CRAYTPU_FLASH_V3": "1"}),
     ("v3_lean", {"CRAYTPU_FLASH_V3": "1", "CRAYTPU_FLASH_EPI": "lean"}),
     # natural-layout rays: in-kernel transpose replaces pack_rays_T
+    ("natrays", {"CRAYTPU_FLASH_NATRAYS": "1"}),
     ("v3_natrays", {"CRAYTPU_FLASH_V3": "1",
                     "CRAYTPU_FLASH_NATRAYS": "1"}),
     ("v3_lean_natrays", {"CRAYTPU_FLASH_V3": "1",
@@ -50,8 +52,11 @@ CONFIGS = [
 
 
 def main():
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     results = []
     for name, env_over in CONFIGS:
+        if only is not None and name not in only:
+            continue
         env = dict(os.environ, **BASE, **env_over)
         t0 = time.time()
         p = subprocess.run(

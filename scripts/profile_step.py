@@ -66,6 +66,11 @@ def main():
     jax.block_until_ready(o)
     n_alive = int(jnp.sum(alive))
     print(f"state: {n_alive}/{B} alive, sorted", file=sys.stderr)
+    # persist the mixed state so profile_kernel.py can time kernel
+    # variants on REALISTIC (post-bounce, partially dead) rays instead
+    # of coherent primaries — block-size conclusions differ between them
+    np.savez("/tmp/kernel_state.npz", o=np.asarray(o), d=np.asarray(d),
+             alive=np.asarray(alive))
 
     rows = []
     dm = cs.dense_meta
