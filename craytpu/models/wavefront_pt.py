@@ -1069,9 +1069,21 @@ class WavefrontRenderer:
         import os as _os
         import time as _time
         stats_on = _os.environ.get("CRAYTPU_POOL_STATS")
+        # CRAYTPU_POOL_SYNC=1 (profiling only): block after every
+        # dispatch so stats attribute WALL time per phase — changes
+        # pipelining, so never use for the benchmark number itself
+        sync_on = stats_on and _os.environ.get("CRAYTPU_POOL_SYNC")
         stats = {"step": [0, 0.0], "refill": [0, 0.0],
                  "shrink": [0, 0.0], "other": [0, 0.0],
                  "occ_sum": 0.0, "lane_bounces": 0.0}
+
+        def _acct(phase, key, out):
+            if sync_on:
+                t0 = _time.perf_counter()
+                jax.block_until_ready(out)
+                dt = _time.perf_counter() - t0
+                stats[phase][1] += dt
+                hist[key + ("s",)] = hist.get(key + ("s",), 0.0) + dt
         xs_f, ys_f, _, T, _, _ = self._pixel_schedule
         xs_f, ys_f = np.asarray(xs_f[:npix]), np.asarray(ys_f[:npix])
         B = min(self.tile_rays, _next_pow2(npix))
@@ -1148,6 +1160,8 @@ class WavefrontRenderer:
                 self._pool_step(kc)(
                     cs.params, cs.geom, cs.shade, cs.mat_graph,
                     o, d, weight, s, alive, pdepth, delta)
+            if sync_on:
+                _acct("step", ("step", Bc, kc), n_live)
             try:
                 n_live.copy_to_host_async()
             except AttributeError:      # pragma: no cover - older jax
@@ -1175,6 +1189,10 @@ class WavefrontRenderer:
                 # overestimates the live set, so the tail slots it clears
                 # are guaranteed dead — no blocking sync needed. m rounds
                 # down to a power of two to bound the compile-cache size.
+                # (Blocking on the exact count here was tried: refill
+                # sizing barely changes — real avg path depth is ~7 so
+                # per-step deaths are ~14% — and the per-step host RTT
+                # over the device tunnel cost ~40 ms, a net 20% LOSS.)
                 m = min((B - stale_n) // Q, 8,
                         max((queue_left() + Q - 1) // Q, 1))
                 while m & (m - 1):
@@ -1206,6 +1224,8 @@ class WavefrontRenderer:
                             np.int32(qpos // npix), np.int32(took),
                             i32(spp))
                         qpos += took
+                    if sync_on:
+                        _acct("refill", ("refill", m), final)
                     # counts issued before this refill undercount by took
                     for e in counts:
                         e[1] += took
@@ -1231,6 +1251,8 @@ class WavefrontRenderer:
                      delta) = self._pack_shrink(Bn)(
                         final, o, d, weight, s, alive, lane, lpass,
                         pdepth, delta)
+                    if sync_on:
+                        _acct("shrink", ("shrink", Bn), final)
         final = self._final_flush()(final, lane, delta, alive)
         if stats_on:
             import sys as _sys
@@ -1244,8 +1266,15 @@ class WavefrontRenderer:
                   f"{stats['lane_bounces'] / 1e6:.1f}M lane-bounces "
                   f"({stats['lane_bounces'] / max(total, 1):.2f}/path)",
                   file=_sys.stderr)
-            for hk in sorted(hist):
-                print(f"  {hk}: {hist[hk]}", file=_sys.stderr)
+            if sync_on:
+                print(f"  phase wall: step {stats['step'][1]:.2f}s  "
+                      f"refill {stats['refill'][1]:.2f}s  "
+                      f"shrink {stats['shrink'][1]:.2f}s", file=_sys.stderr)
+            for hk in sorted(hist, key=str):
+                v = hist[hk]
+                print(f"  {hk}: "
+                      + (f"{v:.3f}s" if isinstance(v, float) else str(v)),
+                      file=_sys.stderr)
         final = final / f32(spp)
         return jax.device_get(final.reshape(H, W, 4))
 

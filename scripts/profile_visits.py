@@ -1,10 +1,16 @@
 """Histogram MXU block visits per ray block (CRAYTPU_FLASH_DEBUG=1) on a
-realistic sorted pool state, at several depths of bounce mixing."""
+realistic sorted pool state, at several depths of bounce mixing.
+
+The DEBUG kernel overwrites its prim output with counters, so it must
+NEVER feed the state evolution: the bounce steps here are traced with
+the env var unset (clean kernel), and the env var is only set right
+before building the separate counting kernel. (An earlier version set
+it at import — the corrupted prim ids killed ~70%/bounce of the pool
+and the live%% column was garbage.)"""
 
 import os
 import sys
 
-os.environ["CRAYTPU_FLASH_DEBUG"] = "1"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -32,6 +38,12 @@ def main():
     stepj = jax.jit(lambda o, d, w, fin, st, alive: step(
         cs.params, cs.geom, cs.shade, cs.mat_graph, o, d, w, fin, st,
         alive, False))
+    # force the CLEAN trace now — jit traces lazily and the kernel
+    # builder reads CRAYTPU_FLASH_DEBUG at trace time
+    _w = jnp.ones((B, 4), jnp.float32)
+    _f = jnp.zeros((B, 4), jnp.float32)
+    jax.block_until_ready(stepj(o0, d0, _w, _f, s, jnp.ones(B, bool)))
+    os.environ["CRAYTPU_FLASH_DEBUG"] = "1"   # counting kernel ONLY
     flash = fx2.build_flash2_fn(cs.dense_meta)
     kj = jax.jit(lambda o, d, a: flash(
         fx2.pack_rays_T(o, d),
