@@ -227,24 +227,23 @@ class WavefrontRenderer:
             """Evaluate every compiled graph on a ray chunk and
             mask-select by graph id — the batched analogue of the per-hit
             node-DAG dispatch. (lax.switch would broadcast captured scene
-            constants per lane under batching.) Each graph is wrapped in a
-            lax.cond on "any lane uses it"."""
+            constants per lane under batching.) Graphs are evaluated
+            UNCONDITIONALLY: XLA:TPU flattens pure conditionals into
+            executing both branches (measured: a switch whose untaken
+            branch held a 3.8 ms body still cost 3.0-3.5 ms either way),
+            so an any-lane lax.cond never skips work — it only added
+            ~2.3 ms/graph of conditional machinery (41.5 -> 34.6 ms at
+            1M lanes with 3 graphs when removed)."""
             B = rec.distance.shape[0]
             out = jnp.zeros((B, 3), f32)
             col = jnp.zeros((B, 4), f32)
             s_sel = st
             for gi in range(len(bsdf_fns)):
                 m = gid == gi
-
-                def do(carry, _gi=gi, _m=m):
-                    out, col, s_sel = carry
-                    o_i, c_i, s_i = bsdf_fns[_gi](params, rec, st)
-                    return (jnp.where(_m[..., None], o_i, out),
-                            jnp.where(_m[..., None], c_i, col),
-                            smp.select_state(_m, s_i, s_sel))
-
-                out, col, s_sel = jax.lax.cond(
-                    jnp.any(m), do, lambda c: c, (out, col, s_sel))
+                o_i, c_i, s_i = bsdf_fns[gi](params, rec, st)
+                out = jnp.where(m[..., None], o_i, out)
+                col = jnp.where(m[..., None], c_i, col)
+                s_sel = smp.select_state(m, s_i, s_sel)
             return out, col, s_sel
 
         import os as _os
@@ -255,7 +254,6 @@ class WavefrontRenderer:
         # 1M-lane step compiles take tens of minutes on the axon server).
         # Set CRAYTPU_SHADE_CHUNK=65536 to restore chunked shading.
         SHADE_CHUNK = int(_os.environ.get("CRAYTPU_SHADE_CHUNK", "0"))
-
         def shade_all(params, rec, st, gid):
             """Material-segmented shading: the pool is Morton-sorted, so
             materials cluster into spatial runs; evaluating in chunks lets

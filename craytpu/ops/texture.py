@@ -79,9 +79,12 @@ def fetch_bilinear(texels, meta, u, v):
 # ones (big HDR env maps) fall back to 4 gathers rather than paying the
 # per-step quad-table build: the (h*w, 16) table costs ~4 texture-sized
 # row-gathers + a 16x-texture write per step, which only amortizes when
-# the texel count is well below the wavefront lane count (1M on TPU)
+# the texel count is well below the wavefront lane count (1M on TPU).
+# Default 1<<19: scene.json's 499x570 diffuse map (284k texels) sat just
+# above the old 1<<18 cutoff and paid ~18 ms/step in the 4-fetch path —
+# a half-lane-count texture still amortizes easily at 1M lanes.
 QUAD_MAX_TEXELS = int(os.environ.get("CRAYTPU_QUAD_MAX_TEXELS",
-                                     str(1 << 18)))
+                                     str(1 << 19)))
 
 
 def build_quad_index(meta) -> np.ndarray:
