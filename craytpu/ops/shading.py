@@ -72,6 +72,13 @@ class HitRec(NamedTuple):
     emission: jnp.ndarray   # (..., 4) legacy material emission for this hit
     ior: jnp.ndarray        # (...) legacy material IOR
     mat_id: jnp.ndarray     # (...) i32 global material id (for param nodes)
+    # optional (..., K) f32 one-hot of mat_id, provided by callers that
+    # already materialize it (the wavefront step does, K <= 64). param
+    # nodes then fetch per-material constants as one exact MXU matmul
+    # instead of a per-lane narrow gather: the gather's (B,1) s32 index
+    # chains got T(1,128) layouts (minor dim padded 1 -> 128) and cost
+    # ~18 ms/step at 1M lanes in device traces.
+    mat_oh: jnp.ndarray | None = None
 
 
 def dummy_rec(incident):
@@ -189,7 +196,14 @@ def compile_color(ir, reg: Registry):
         # once and read their constants through mat_id (the TPU-native
         # hash-consing — 14 graphs collapse to 3 structures on scene.json)
         tbl = jnp.asarray(ir[1])
-        return lambda p, rec: p.colors[tbl[rec.mat_id]]
+
+        def param_color_fn(p, rec):
+            if rec.mat_oh is not None:
+                # exact one-hot row fetch on the MXU (matmul precision is
+                # "highest": 1.0*row + 0*rest reproduces the row bits)
+                return rec.mat_oh @ p.colors[tbl]
+            return p.colors[tbl[rec.mat_id]]
+        return param_color_fn
     if kind == "const_color":
         idx = reg.color_idx(ir[1])
         return lambda p, rec: (p.colors[idx] * _ones(rec)[..., None])
@@ -280,7 +294,12 @@ def compile_value(ir, reg: Registry):
     kind = ir[0]
     if kind == "param_value":
         tbl = jnp.asarray(ir[1])
-        return lambda p, rec: p.values[tbl[rec.mat_id]]
+
+        def param_value_fn(p, rec):
+            if rec.mat_oh is not None:
+                return rec.mat_oh @ p.values[tbl]
+            return p.values[tbl[rec.mat_id]]
+        return param_value_fn
     if kind == "const_value":
         idx = reg.value_idx(ir[1])
         return lambda p, rec: p.values[idx] * _ones(rec)
