@@ -240,7 +240,11 @@ class WavefrontRenderer:
             s_sel = st
             for gi in range(len(bsdf_fns)):
                 m = gid == gi
-                o_i, c_i, s_i = bsdf_fns[gi](params, rec, st)
+                # rec.active routes inactive lanes' texture gathers to
+                # one resident tile (see HitRec.active) — their outputs
+                # are discarded by the where-merge below either way
+                o_i, c_i, s_i = bsdf_fns[gi](params,
+                                             rec._replace(active=m), st)
                 out = jnp.where(m[..., None], o_i, out)
                 col = jnp.where(m[..., None], c_i, col)
                 s_sel = smp.select_state(m, s_i, s_sel)
@@ -289,7 +293,9 @@ class WavefrontRenderer:
             # derived shading context (bilinear quad-row tables built
             # from params.texels). No-op if the caller already wrapped —
             # scan-based callers hoist this OUTSIDE the bounce loop.
-            params = reg.make_ctx(params)
+            # Differentiable builds keep f32 quad tables (texel grads
+            # flow through them); forward builds byte-pack LDR tables.
+            params = reg.make_ctx(params, packed=not diff)
             # Detach the traversal inputs: the discrete BVH walk (a
             # lax.while_loop) must not sit on the reverse-AD path. Gradients
             # w.r.t. material params flow through the throughput/attenuation
@@ -499,7 +505,8 @@ class WavefrontRenderer:
 
         def _trace(params, g, xs, ys, pass_idx, spp):
             B = xs.shape[0]
-            params = cs.reg.make_ctx(params)   # hoist out of the scan
+            # f32 quad tables: this is the gradient path (texel grads)
+            params = cs.reg.make_ctx(params, packed=False)
             pix_idx = ys.astype(u32) * u32(width) + xs.astype(u32)
             s = smp.init_sampler(kind, jnp.broadcast_to(pass_idx, (B,)),
                                  jnp.broadcast_to(spp, (B,)), pix_idx)
@@ -630,7 +637,9 @@ class WavefrontRenderer:
 
         def trace_rays(params, o, d, s):
             B = o.shape[0]
-            params = cs.reg.make_ctx(params)   # hoist out of the scan
+            # f32 quad tables: edge-gradient side evaluations may be
+            # differentiated w.r.t. params
+            params = cs.reg.make_ctx(params, packed=False)
             weight = jnp.ones((B, 4), f32)
             final = jnp.zeros((B, 4), f32)
             alive = jnp.ones(B, bool)

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from craytpu.ops import colorops as co
 from craytpu.ops import sampler as smp
@@ -79,6 +80,15 @@ class HitRec(NamedTuple):
     # chains got T(1,128) layouts (minor dim padded 1 -> 128) and cost
     # ~18 ms/step at 1M lanes in device traces.
     mat_oh: jnp.ndarray | None = None
+    # optional (...,) bool: lanes whose result this graph evaluation will
+    # actually keep (shade_chunk sets gid == gi). Texture nodes clamp the
+    # texel index of inactive lanes to row 0: a TPU gather reads a full
+    # 4 KB (8,128) tile per row regardless of row width, so a full-width
+    # fetch for a material covering ~5% of lanes moved ~4 GB/step; with
+    # clamping the inactive reads all hit one resident tile. Inactive
+    # lanes' outputs are discarded by the caller's where-merge, so any
+    # in-range index is semantically equivalent.
+    active: jnp.ndarray | None = None
 
 
 def dummy_rec(incident):
@@ -114,30 +124,60 @@ class Registry:
         # make_ctx and reached through ShadeCtx.texq[slot]
         self.quad_slot = {}
         self._quad_idx = []
+        self._quad_byte_exact = []
         for t in textures:
             h, w, c = t.data.shape
             self.tex_meta.append((offset, w, h, c))
-            self._tex_bufs.append(tex.pack_rgba_rows(t.data))
+            rows = tex.pack_rgba_rows(t.data)
+            self._tex_bufs.append(rows)
             if h * w <= tex.QUAD_MAX_TEXELS:
                 self.quad_slot[len(self.tex_meta) - 1] = \
                     len(self._quad_idx)
                 self._quad_idx.append(
                     tex.build_quad_index((offset, w, h, c)))
+                # byte-exact = every texel sits on the b/255 f32 grid
+                # (true for file-loaded LDR; false for HDR), checked
+                # once at registration so make_ctx can byte-pack
+                b = np.clip(np.round(rows * 255.0), 0, 255)
+                self._quad_byte_exact.append(bool(np.array_equal(
+                    rows, (b.astype(np.float32)
+                           / np.float32(255.0)).astype(np.float32))))
             offset += h * w
 
-    def make_ctx(self, params: "ShadeParams") -> "ShadeCtx":
+    def make_ctx(self, params: "ShadeParams", packed=True) -> "ShadeCtx":
         """Derive the per-step shading context: build each quad-eligible
-        texture's (h*w, 16) quad-row table from params.texels (one
-        flattened row gather per texture, amortized over the whole
-        wavefront — NOT per shade chunk/cond)."""
+        texture's quad-row table from params.texels (one flattened row
+        gather per texture, amortized over the whole wavefront — NOT per
+        shade chunk/cond). packed=True additionally byte-packs tables of
+        byte-exact LDR textures (see below); pass packed=False on
+        differentiable traces that need texel gradients."""
         if isinstance(params, ShadeCtx):
             return params
         if not self._quad_idx:
             return ShadeCtx(*params, texq=())
-        texq = tuple(
-            params.texels[jnp.asarray(q.reshape(-1))].reshape(-1, 16)
-            for q in self._quad_idx)
-        return ShadeCtx(*params, texq=texq)
+        # TPU gathers run at ~1 element/cycle regardless of row width, so
+        # the (B,)-indexed 16-f32-wide quad fetch costs 16 cycles/lane
+        # (measured 18 ms/step at 1M lanes — the largest non-kernel op in
+        # the bounce step's device trace). Byte-exact LDR textures pack
+        # each quad's 16 bytes into FOUR u32 words instead: 4 gathered
+        # elements/lane, dequantized in-register as f32(byte)/255 — the
+        # reference's own fetch-time math (texture.c:33-64), bit-exact
+        # for every byte value (verified exhaustively vs the pre-divided
+        # f32 table). packed=False (the differentiable trace) and
+        # off-grid textures (HDR) keep the f32 table, through which
+        # texel gradients flow.
+        texq = []
+        for slot, q in enumerate(self._quad_idx):
+            q16 = params.texels[jnp.asarray(q.reshape(-1))].reshape(-1, 16)
+            if packed and self._quad_byte_exact[slot]:
+                b = jnp.round(q16 * f32(255.0)).astype(jnp.uint32)
+                words = [(b[:, 4 * t] | (b[:, 4 * t + 1] << 8)
+                          | (b[:, 4 * t + 2] << 16)
+                          | (b[:, 4 * t + 3] << 24)) for t in range(4)]
+                texq.append(jnp.stack(words, axis=1))   # (h*w, 4) u32
+            else:
+                texq.append(q16)
+        return ShadeCtx(*params, texq=tuple(texq))
 
     def color_idx(self, rgba):
         key = tuple(float(x) for x in rgba)
@@ -228,11 +268,13 @@ def compile_color(ir, reg: Registry):
                   else None)
             if no_bilinear:
                 out = tex.fetch_nearest(p.texels, meta, u * meta[1],
-                                        v * meta[2])
+                                        v * meta[2], active=rec.active)
             elif tq is not None:
-                out = tex.fetch_bilinear_quadtab(tq, meta, u, v)
+                out = tex.fetch_bilinear_quadtab(tq, meta, u, v,
+                                                 active=rec.active)
             else:
-                out = tex.fetch_bilinear(p.texels, meta, u, v)
+                out = tex.fetch_bilinear(p.texels, meta, u, v,
+                                         active=rec.active)
             if srgb:
                 out = co.color_from_srgb(out)
             return out

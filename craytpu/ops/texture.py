@@ -41,21 +41,33 @@ def pack_rgba_rows(data: np.ndarray) -> np.ndarray:
     return out
 
 
-def _fetch_internal(texels, meta, xi, yi):
+def _clamp_inactive(s, active, lo):
+    """Route inactive lanes' gather rows to one resident row: a TPU
+    gather reads a full 4 KB (8,128) tile per row no matter how narrow
+    the row, so full-width fetches for a sparsely-hit texture are tile-
+    traffic-bound; inactive lanes (whose outputs the caller discards by
+    where-merge) all hitting row `lo` keeps that traffic on one tile."""
+    if active is None:
+        return s
+    return jnp.where(active, s, jnp.asarray(lo, s.dtype))
+
+
+def _fetch_internal(texels, meta, xi, yi, active=None):
     """textureGetPixelInternal (texture.c:33-64). xi, yi int32 arrays."""
     offset, w, h, _ = meta
     x = jnp.mod(xi, w)
     y = jnp.mod(yi, h)
-    return texels[offset + x + (h - 1 - y) * w]
+    return texels[_clamp_inactive(offset + x + (h - 1 - y) * w,
+                                  active, offset)]
 
 
-def fetch_nearest(texels, meta, x, y):
+def fetch_nearest(texels, meta, x, y, active=None):
     """Unfiltered path: float pixel coords, size_t-cast truncation."""
     return _fetch_internal(texels, meta, jnp.asarray(x, f32).astype(i32),
-                           jnp.asarray(y, f32).astype(i32))
+                           jnp.asarray(y, f32).astype(i32), active=active)
 
 
-def fetch_bilinear(texels, meta, u, v):
+def fetch_bilinear(texels, meta, u, v, active=None):
     """Filtered path (texture.c:67-80): u,v in [0,1] texture coords."""
     _, w, h, _ = meta
     x = u * w
@@ -64,10 +76,10 @@ def fetch_bilinear(texels, meta, u, v):
     yc = y - f32(0.5)
     xi = xc.astype(i32)  # trunc toward zero, like (int) cast
     yi = yc.astype(i32)
-    tl = _fetch_internal(texels, meta, xi, yi)
-    tr = _fetch_internal(texels, meta, xi + 1, yi)
-    bl = _fetch_internal(texels, meta, xi, yi + 1)
-    br = _fetch_internal(texels, meta, xi + 1, yi + 1)
+    tl = _fetch_internal(texels, meta, xi, yi, active=active)
+    tr = _fetch_internal(texels, meta, xi + 1, yi, active=active)
+    bl = _fetch_internal(texels, meta, xi, yi + 1, active=active)
+    br = _fetch_internal(texels, meta, xi + 1, yi + 1, active=active)
     fx = (xc - xi.astype(f32))[..., None]
     fy = (yc - yi.astype(f32))[..., None]
     top = tl * (f32(1.0) - fx) + tr * fx
@@ -106,11 +118,20 @@ def build_quad_index(meta) -> np.ndarray:
     return (offset + quad).astype(np.int32)
 
 
-def fetch_bilinear_quadtab(quad16, meta, u, v):
-    """fetch_bilinear with the 4 texel reads fused into ONE 16-wide row
-    gather against a precomputed (h*w, 16) quad-row table (built once
-    per step by Registry.make_ctx from params.texels — differentiable
-    through that build). Bit-identical values to fetch_bilinear."""
+def fetch_bilinear_quadtab(quad, meta, u, v, active=None):
+    """fetch_bilinear with the 4 texel reads fused into ONE row gather
+    against a precomputed quad-row table (built once per step by
+    Registry.make_ctx from params.texels). Two table forms:
+
+      f32 (h*w, 16): the quad's texels verbatim (differentiable — texel
+        gradients flow through the make_ctx gather).
+      u32 (h*w, 4): byte-exact LDR quads packed 4 RGBA bytes per word.
+        TPU gathers run at ~1 element/cycle regardless of row width, so
+        this fetches 4 elements/lane instead of 16; dequantization is
+        f32(byte)/255 in-register — the reference's own fetch-time math
+        (texture.c:33-64), bit-identical to the f32 table.
+
+    Bit-identical values to fetch_bilinear either way."""
     _, w, h, _ = meta
     x = u * w
     y = v * h
@@ -119,11 +140,22 @@ def fetch_bilinear_quadtab(quad16, meta, u, v):
     xi = xc.astype(i32)
     yi = yc.astype(i32)
     s = (jnp.mod(xi, w) + (h - 1 - jnp.mod(yi, h)) * w)
-    rows = quad16[s]                       # ONE (B,) gather, 16-wide rows
-    tl = rows[..., 0:4]
-    tr = rows[..., 4:8]
-    bl = rows[..., 8:12]
-    br = rows[..., 12:16]
+    s = _clamp_inactive(s, active, 0)
+    rows = quad[s]                         # ONE (B,) row gather
+    if quad.dtype == jnp.uint32:
+        inv255 = f32(255.0)
+        texels = []
+        for t in range(4):
+            word = rows[..., t]
+            texels.append(jnp.stack(
+                [((word >> (8 * ch)) & jnp.uint32(0xFF)).astype(f32)
+                 / inv255 for ch in range(4)], axis=-1))
+        tl, tr, bl, br = texels
+    else:
+        tl = rows[..., 0:4]
+        tr = rows[..., 4:8]
+        bl = rows[..., 8:12]
+        br = rows[..., 12:16]
     fx = (xc - xi.astype(f32))[..., None]
     fy = (yc - yi.astype(f32))[..., None]
     top = tl * (f32(1.0) - fx) + tr * fx

@@ -21,7 +21,12 @@ def vec(x, y, z):
 
 
 def vdot(a, b):
-    return jnp.sum(a * b, axis=-1)
+    # component-wise, NOT jnp.sum(a*b, axis=-1): the axis reduce pads the
+    # minor dim 3 -> 128 on TPU (T(8,128) layout) and a single fused loop
+    # of these norms measured 18 ms/step at 1M lanes in device traces.
+    # Same float association as the 3-element reduce: (a0+a1)+a2.
+    return (a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1]
+            + a[..., 2] * b[..., 2])
 
 
 def vcross(a, b):
