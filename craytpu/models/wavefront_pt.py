@@ -1096,7 +1096,12 @@ class WavefrontRenderer:
         xs_f, ys_f, _, T, _, _ = self._pixel_schedule
         xs_f, ys_f = np.asarray(xs_f[:npix]), np.asarray(ys_f[:npix])
         B = min(self.tile_rays, _next_pow2(npix))
-        Q = B // 4                      # refill quantum
+        # refill quantum: swept at 1080p (r3): B//4 -> 810k paths/s,
+        # B//8 -> 930k, B//16 -> 993k, B//32 -> 889k. Finer quanta refill
+        # sooner after the burn-in deaths and ship less fresh-gen work
+        # per dispatch (m still caps the batch at 8 quanta);
+        # CRAYTPU_POOL_QDIV overrides for experiments
+        Q = B // int(_os.environ.get("CRAYTPU_POOL_QDIV", "16"))
         cs = self.cscene
         import os
         k_env = os.environ.get("CRAYTPU_POOL_K")
