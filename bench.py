@@ -158,7 +158,12 @@ def main():
         reps = 2
         for _ in range(reps):
             v, g = vg(r.cscene.params)
-        jax.block_until_ready(g)
+            # sync through the VALUE, not block_until_ready: over the
+            # axon tunnel a block_until_ready here was observed to
+            # return in <1 ms while the 3.8 s computation was still in
+            # flight (r3: a 2.5e9 paths/s reading); fetching the scalar
+            # cannot be cheated
+            float(v)
         fwd_bwd_pps = B * reps / (time.perf_counter() - t0)
 
     out = {

@@ -443,16 +443,16 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
         icnt = jax.lax.fori_loop(0, n_mesh_inst, p0, i32(0))
         return jax.lax.fori_loop(0, icnt, mesh_inst, carry)
 
-    if n_mesh_inst:
-        # ALL-dead ray blocks (limit 0 everywhere — the sorted pool packs
-        # dead lanes into whole blocks) skip the entire instance scan
-        best_t, best_p, best_i = jax.lax.cond(
-            jnp.any(best_t > f32(0.0)), run_mesh, lambda c: c,
-            (best_t, best_p, best_i))
-
-    # ---- sphere instances: exact quadratic, <= tie acceptance AFTER
-    # meshes (matches v1 sphere_pass order: sphere.c:20-50 via
-    # instance.c:45-60) ----
+    # ---- sphere instances FIRST: exact quadratic, <= tie acceptance.
+    # The reference runs spheres after meshes (sphere.c:20-50 via
+    # instance.c:45-60), but the winner set is ORDER-INDEPENDENT here:
+    # spheres accept t0 <= bt and meshes accept strictly t < bt, so a
+    # sphere tied with a mesh triangle wins in either order, and
+    # sphere-vs-sphere ordering within the fori_loop is unchanged.
+    # Running the cheap quadratics first seeds best_t before the mesh
+    # phases, so instance roots / superblocks / tri-blocks behind a
+    # sphere hit cull instead of reaching the MXU (the ablated kernel is
+    # ~78% matmul — visit count is the whole game). ----
     def sph_inst(si, carry):
         bt, bp, bi = carry
         iid = sphplan_ref[si, 0]
@@ -479,6 +479,13 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
             jnp.any(best_t > f32(0.0)),
             lambda c: jax.lax.fori_loop(0, n_sph_inst, sph_inst, c),
             lambda c: c, (best_t, best_p, best_i))
+
+    if n_mesh_inst:
+        # ALL-dead ray blocks (limit 0 everywhere — the sorted pool packs
+        # dead lanes into whole blocks) skip the entire instance scan
+        best_t, best_p, best_i = jax.lax.cond(
+            jnp.any(best_t > f32(0.0)), run_mesh, lambda c: c,
+            (best_t, best_p, best_i))
 
     if DEBUG:
         # replace prim with diagnostic counters per ray block:
