@@ -843,38 +843,64 @@ class WavefrontRenderer:
     def _morton_key(self):
         """Spatial+octant sort key (dead lanes -> max key, so a stable
         argsort is simultaneously the alive-first pack)."""
+        import os as _os
         bb = np.asarray(self.cscene.geom.node_bounds[0])
         lo = jnp.asarray(bb[[0, 2, 4]])
         ext = np.maximum(bb[[1, 3, 5]] - bb[[0, 2, 4]], 1e-6)
-        inv_ext = jnp.asarray((127.0 / ext).astype(np.float32))
+        # spatial resolution: octant-major leaves 29 bits for the morton
+        # code -> up to 9 bits/axis (pos-major keys shift by 3, also ok)
+        bits = min(int(_os.environ.get("CRAYTPU_SORT_BITS", "9")), 9)
+        top = float((1 << bits) - 1)
+        inv_ext = jnp.asarray((top / ext).astype(np.float32))
 
         def spread3(x):
-            x = (x | (x << 8)) & 0x0100F00F
-            x = (x | (x << 4)) & 0x10C30C3
-            x = (x | (x << 2)) & 0x9249249
+            # 10-bit 3-way bit spread (Morton), classic mask sequence
+            x = (x | (x << 16)) & 0x030000FF
+            x = (x | (x << 8)) & 0x0300F00F
+            x = (x | (x << 4)) & 0x030C30C3
+            x = (x | (x << 2)) & 0x09249249
             return x
 
-        import os as _os
         pos_major = _os.environ.get("CRAYTPU_SORT_KEY", "octant") == "pos"
 
         def key_fn(o, d, alive):
-            q = jnp.clip(((o - lo) * inv_ext), 0.0, 127.0).astype(u32)
+            q = jnp.clip(((o - lo) * inv_ext), 0.0, top).astype(u32)
             octant = ((d[:, 0] < 0) + 2 * (d[:, 1] < 0)
                       + 4 * (d[:, 2] < 0)).astype(u32)
             m = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
                  | (spread3(q[:, 2]) << 2))
-            key = (m << 3) | octant if pos_major else m | (octant << 21)
+            key = ((m << 3) | octant if pos_major
+                   else m | (octant << (3 * bits)))
             return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
         return key_fn
 
-    @staticmethod
-    def _permute_pool(order, o, d, weight, delta, s, alive, lane, lpass,
-                      pdepth):
+    def _permute_pool(self, order, o, d, weight, delta, s, alive, lane,
+                      lpass, pdepth):
         """Apply a lane permutation through TWO wide stacked gathers.
-        Narrow (B,) gathers run ~10x below row-gather bandwidth on TPU, so
-        permuting the 11 pool arrays one by one costs more than the bounce
-        step itself; stacked as (B, 15) f32 + (B, 9) i32 it's two cheap
-        row gathers."""
+        TPU gathers retire ~1 element/cycle whatever the row width, so
+        permuting the 11 pool arrays one by one costs more than the
+        bounce step itself; stacked rows amortize the descriptor cost
+        AND every dropped column is a real element saved. For the
+        RANDOM sampler (the batch default) only pcg_hi/pcg_lo of the
+        sampler state are ever read (get_dimension touches nothing
+        else; init_sampler rebuilds fresh lanes), so its rnd_offset /
+        curr_prime / curr_pass / max_passes columns are reconstructed
+        as zeros instead of permuted: 24 -> 19 elements/lane."""
+        from craytpu.ops.sampler import SamplerState
+        slim = self.kind == smp.RANDOM
+        B = o.shape[0]
+        if slim:
+            F = jnp.concatenate([o, d, weight, delta], axis=1)[order]
+            I = jnp.stack(
+                [s.pcg_hi.view(i32), s.pcg_lo.view(i32), lane, lpass,
+                 pdepth, alive.astype(i32)], axis=1)[order]
+            z = jnp.zeros(B, i32)
+            s2 = SamplerState(pcg_hi=I[:, 0].view(u32),
+                              pcg_lo=I[:, 1].view(u32),
+                              rnd_offset=z.astype(f32), curr_prime=z,
+                              curr_pass=z, max_passes=z)
+            return (F[:, 0:3], F[:, 3:6], F[:, 6:10], F[:, 10:14], s2,
+                    I[:, 5].astype(bool), I[:, 2], I[:, 3], I[:, 4])
         F = jnp.concatenate(
             [o, d, weight, delta,
              s.rnd_offset.astype(f32)[:, None]], axis=1)[order]
@@ -883,7 +909,6 @@ class WavefrontRenderer:
              s.curr_prime.astype(i32), s.curr_pass.astype(i32),
              s.max_passes.astype(i32), lane, lpass, pdepth,
              alive.astype(i32)], axis=1)[order]
-        from craytpu.ops.sampler import SamplerState
         s2 = SamplerState(pcg_hi=I[:, 0].view(u32), pcg_lo=I[:, 1].view(u32),
                           rnd_offset=F[:, 14], curr_prime=I[:, 2],
                           curr_pass=I[:, 3], max_passes=I[:, 4])

@@ -364,6 +364,22 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                                 jnp.abs(q3[3 * TRI_BLOCK:4 * TRI_BLOCK])
                                 + f32(1e30), axis=0, keepdims=True))
                             return bt, bp, bi
+                        if DEBUG and os.environ.get(
+                                "CRAYTPU_FLASH_DEBUG") == "2":
+                            # two-stage feasibility probe: count visits
+                            # where ANY lane has a t-improving candidate
+                            # from (det, td) alone — exactly the visits a
+                            # det/td-first split kernel would still have
+                            # to run the (ud, vd) half-matmul for
+                            d0 = q3[0 * TRI_BLOCK:1 * TRI_BLOCK]
+                            t0_ = q3[3 * TRI_BLOCK:4 * TRI_BLOCK] / d0
+                            cand = ((t0_ > f32(0.0))
+                                    & (t0_ < jnp.broadcast_to(
+                                        bt, t0_.shape)))
+
+                            @pl.when(jnp.any(cand))
+                            def _():
+                                dbg[1] = dbg[1] + 1
                         det = q3[0 * TRI_BLOCK:1 * TRI_BLOCK]
                         ud = q3[1 * TRI_BLOCK:2 * TRI_BLOCK]
                         vd = q3[2 * TRI_BLOCK:3 * TRI_BLOCK]
