@@ -1128,6 +1128,11 @@ class WavefrontRenderer:
         # CRAYTPU_POOL_QDIV overrides for experiments
         Q = B // int(_os.environ.get("CRAYTPU_POOL_QDIV", "16"))
         cs = self.cscene
+        # hoist the shading context (quad-row texture tables) out of the
+        # per-bounce dispatch: params are constant for the whole render
+        # and make_ctx is idempotent inside the step, so building it once
+        # here saves the ~2 ms/dispatch table rebuild
+        params_ctx = jax.jit(cs.reg.make_ctx)(cs.params)
         import os
         k_env = os.environ.get("CRAYTPU_POOL_K")
         k = int(k_env) if k_env else 1
@@ -1197,7 +1202,7 @@ class WavefrontRenderer:
                 stats["step"][0] += 1
             o, d, weight, s, alive, pdepth, delta, n_live = \
                 self._pool_step(kc)(
-                    cs.params, cs.geom, cs.shade, cs.mat_graph,
+                    params_ctx, cs.geom, cs.shade, cs.mat_graph,
                     o, d, weight, s, alive, pdepth, delta)
             if sync_on:
                 _acct("step", ("step", Bc, kc), n_live)
