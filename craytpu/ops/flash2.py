@@ -48,10 +48,11 @@ f32 = jnp.float32
 i32 = jnp.int32
 FLT_MAX = 3.4028235e38
 
-# 512 beats 256 by ~13% kernel-only on a realistic 3-bounce mixed pool
-# and ~15% end-to-end at 1080p (r3 sweep); 1024 wins kernel-only on
-# primaries but loses end-to-end (culling degrades on bounced rays)
-RAY_BLOCK = int(os.environ.get("CRAYTPU_RAY_BLOCK", "512"))
+# r3 sweep on a realistic 3-bounce mixed pool (kernel-only ms at 1M
+# lanes): 256 -> 77.4, 512 -> 66.6, 768 -> 61.1, 1024 -> 64.9. 768
+# amortizes per-visit control best before block-union culling decay
+# sets in; end-to-end it is ~1% ahead of 512.
+RAY_BLOCK = int(os.environ.get("CRAYTPU_RAY_BLOCK", "768"))
 from craytpu.ops.dense_isect import TRI_BLOCK  # noqa: E402
 SB_BLOCKS = int(os.environ.get("CRAYTPU_SB_BLOCKS", "8"))
 PHI_DIM = 16                # 10 used: [d, o, d x o, 1]; padded for MXU
