@@ -514,360 +514,6 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
     iid_ref[0] = best_i
 
 
-def _kernel3(plan_ref, mesh_rows_ref, sph_rows_ref, bb_ref, sbbb_ref,
-             rays_ref, limit_ref, W_hbm,
-             t_ref, prim_ref, iid_ref,
-             wbuf, sems, sb_list, sb_keys, inst_list, inst_keys,
-             nearbuf, sbnear, blknear, trans, dbg,
-             *, n_mesh_inst, n_sph_inst, nsb_max, resident):
-    """v3 of _kernel: same algorithm (near-first instance order,
-    superblock worklists, double-buffered HBM streaming, in-kernel
-    spheres, winner extraction), with every CULLING phase vectorized
-    across its population instead of a scalar loop of tiny (1, RB) row
-    ops — the round-2 trace showed per-ray-block fixed cost (~7 us) was
-    dominated by op-issue overhead of those rows, not by arithmetic.
-
-      phase 0: ALL mesh instances' ray transforms + root slabs in one
-               (IM, RB)-shaped pass; per-instance scalar keys are then
-               one row load + full reduce each (the only proven-cheap
-               vector->scalar construct), feeding the same insertion
-               sort.
-      phase 1: ALL superblocks of an instance slab-tested as one
-               (nsb_max, RB) pass against a pl.ds row window.
-      phase 2: the 8 tri-block slabs of a superblock as one (8, RB)
-               pass; per-block gate = row load + reduce. Block culling
-               uses best_t frozen at superblock entry (the scalar
-               kernel re-tests with the evolving best_t — strictly
-               tighter by at most a few visits; winner math unchanged).
-
-    Inputs differ from _kernel: mesh_rows/sph_rows are PRE-GATHERED
-    per-instance rows (IMp/ISp, 24) f32 in VMEM (column 20 of sph_rows
-    carries the instance id as f32 so the sphere pass can run fully
-    vectorized with tie-accept-last semantics preserved via a max-index
-    reduce); bb/sbbb live in VMEM padded so every pl.ds window is in
-    range; plan_ref keeps the SMEM scalars (block ranges, prim bases).
-    """
-    if _natrays():
-        # natural-layout rays (NRB, RB, 8): ONE in-kernel transpose per
-        # ray block replaces the XLA-side lane transpose of the whole
-        # pool (pack_rays_T measured ~15 ms per step at 1M lanes)
-        rT = rays_ref[0].T                       # (8, RB)
-        o_x = rT[0:1]
-        o_y = rT[1:2]
-        o_z = rT[2:3]
-        d_x = rT[3:4]
-        d_y = rT[4:5]
-        d_z = rT[5:6]
-    else:
-        o_x = rays_ref[0, 0:1, :]
-        o_y = rays_ref[0, 1:2, :]
-        o_z = rays_ref[0, 2:3, :]
-        d_x = rays_ref[0, 3:4, :]
-        d_y = rays_ref[0, 4:5, :]
-        d_z = rays_ref[0, 5:6, :]
-
-    best_t = limit_ref[0]
-    best_p = jnp.full((1, RAY_BLOCK), -1, i32)
-    best_i = jnp.full((1, RAY_BLOCK), -1, i32)
-    DEBUG = bool(os.environ.get("CRAYTPU_FLASH_DEBUG"))
-    EPI = os.environ.get("CRAYTPU_FLASH_EPI", "")
-    if DEBUG:
-        dbg[0] = i32(0)
-        dbg[1] = i32(0)
-
-    lane0 = jax.lax.broadcasted_iota(i32, (TRI_BLOCK, RAY_BLOCK), 0)
-
-    def vec_transform(rows):
-        """rows (N, 24) -> instance-space o/d, each (N, RB)."""
-        a = [rows[:, c:c + 1] for c in range(13)]
-        oi_x = a[0] * o_x + a[1] * o_y + a[2] * o_z + a[3]
-        oi_y = a[4] * o_x + a[5] * o_y + a[6] * o_z + a[7]
-        oi_z = a[8] * o_x + a[9] * o_y + a[10] * o_z + a[11]
-        di_x = a[0] * d_x + a[1] * d_y + a[2] * d_z
-        di_y = a[4] * d_x + a[5] * d_y + a[6] * d_z
-        di_z = a[8] * d_x + a[9] * d_y + a[10] * d_z
-        off = a[12]
-        return (oi_x + di_x * off, oi_y + di_y * off,
-                oi_z + di_z * off), (di_x, di_y, di_z)
-
-    def vec_slab(bbcols, oi, di, limit):
-        """Row-batched slab test: bbcols = 6 arrays broadcastable
-        against the (N, RB) rays. Returns masked entry distances
-        (FLT_MAX where the box cannot beat limit)."""
-        near = jnp.full_like(oi[0] * f32(0.0), -FLT_MAX)
-        far = -near
-        for ax in range(3):
-            da = di[ax]
-            da = jnp.where(da == f32(0.0), f32(1e-30), da)
-            inv = f32(1.0) / da
-            t0 = (bbcols[2 * ax] - oi[ax]) * inv
-            t1 = (bbcols[2 * ax + 1] - oi[ax]) * inv
-            near = jnp.maximum(near, jnp.minimum(t0, t1))
-            far = jnp.minimum(far, jnp.maximum(t0, t1))
-        ok = (near <= far) & (far >= f32(0.0)) & (near < limit)
-        return jnp.where(ok, jnp.maximum(near, f32(0.0)), FLT_MAX)
-
-    # ---- phase 0 (vectorized): all mesh instances at once ----
-    IMp = trans.shape[0]
-
-    def run_phase0():
-        mr = mesh_rows_ref[...]
-        oiv, div = vec_transform(mr)
-        bbc = [mr[:, 13 + c:14 + c] for c in range(6)]
-        near = vec_slab(bbc, oiv, div, best_t)      # (IMp, RB)
-        rmask = jax.lax.broadcasted_iota(
-            i32, (IMp, 1), 0) < n_mesh_inst
-        near = jnp.where(rmask, near, FLT_MAX)
-        nearbuf[...] = near[:, None, :]
-        trans[...] = jnp.concatenate(
-            [oiv[0][:, None, :], oiv[1][:, None, :], oiv[2][:, None, :],
-             div[0][:, None, :], div[1][:, None, :], div[2][:, None, :],
-             jnp.zeros((IMp, 2, RAY_BLOCK), f32)], axis=1)
-
-        def p0(im, cnt):
-            key = jnp.min(nearbuf[im])
-
-            @pl.when(key < FLT_MAX)
-            def _():
-                def shift_cond(p):
-                    return (p > 0) & (inst_keys[p - 1] > key)
-
-                def shift_body(p):
-                    inst_keys[p] = inst_keys[p - 1]
-                    inst_list[p] = inst_list[p - 1]
-                    return p - 1
-
-                pos = jax.lax.while_loop(shift_cond, shift_body, cnt)
-                inst_keys[pos] = key
-                inst_list[pos] = im
-            return cnt + (key < FLT_MAX).astype(i32)
-
-        return jax.lax.fori_loop(0, n_mesh_inst, p0, i32(0))
-
-    def mesh_inst(r, carry):
-        bt, bp, bi = carry
-        im = inst_list[r]
-        iid = plan_ref[im, 0]
-        b0 = plan_ref[im, 1]
-        nb = plan_ref[im, 2]
-        sb0 = plan_ref[im, 3]
-        nsb = plan_ref[im, 4]
-        pbase = plan_ref[im, 5]
-        tr = trans[im]                               # (8, RB)
-        oi = (tr[0:1], tr[1:2], tr[2:3])
-        di = (tr[3:4], tr[4:5], tr[5:6])
-
-        w_x = di[1] * oi[2] - di[2] * oi[1]
-        w_y = di[2] * oi[0] - di[0] * oi[2]
-        w_z = di[0] * oi[1] - di[1] * oi[0]
-        phiT = jnp.concatenate([
-            di[0], di[1], di[2], oi[0], oi[1], oi[2], w_x, w_y, w_z,
-            jnp.ones((1, RAY_BLOCK), f32),
-            jnp.zeros((PHI_DIM - 10, RAY_BLOCK), f32)], axis=0)
-        phiS = _stack_phi(phiT)
-
-        def do_mesh(carry):
-            bt0, bp0, bi0 = carry
-
-            # phase 1 (vectorized): every superblock of this instance
-            NSBp = sbnear.shape[0]
-            sbb = sbbb_ref[pl.ds(sb0, NSBp)]
-            bbc = [sbb[:, c:c + 1] for c in range(6)]
-            oiv = tuple(x[0:1] for x in oi)   # (1, RB) broadcasts
-            div = tuple(x[0:1] for x in di)
-            near = vec_slab(bbc, oiv, div, bt0)
-            rmask = jax.lax.broadcasted_iota(i32, (NSBp, 1), 0) < nsb
-            sbnear[...] = jnp.where(rmask, near, FLT_MAX)[:, None, :]
-
-            def scan_sb(s, cnt):
-                key = jnp.min(sbnear[s])
-                hit_any = key < FLT_MAX
-
-                @pl.when(hit_any)
-                def _():
-                    if DEBUG:
-                        dbg[1] = dbg[1] + 1
-
-                    def shift_cond(p):
-                        return (p > 0) & (sb_keys[p - 1] > key)
-
-                    def shift_body(p):
-                        sb_keys[p] = sb_keys[p - 1]
-                        sb_list[p] = sb_list[p - 1]
-                        return p - 1
-
-                    pos = jax.lax.while_loop(shift_cond, shift_body, cnt)
-                    sb_keys[pos] = key
-                    sb_list[pos] = s
-                return cnt + hit_any.astype(i32)
-
-            cnt = jax.lax.fori_loop(0, nsb, scan_sb, i32(0))
-
-            def get_dma(slot, q):
-                s = sb_list[q]
-                return pltpu.make_async_copy(
-                    W_hbm.at[pl.ds(b0 + s * SB_BLOCKS, SB_BLOCKS)],
-                    wbuf.at[slot], sems.at[slot])
-
-            if not resident:
-                @pl.when(cnt > 0)
-                def _():
-                    get_dma(0, 0).start()
-
-            def sb_body(qi, carry):
-                bt, bp, bi = carry
-                slot = jax.lax.rem(qi, 2)
-
-                if not resident:
-                    @pl.when(qi + 1 < cnt)
-                    def _():
-                        get_dma(jax.lax.rem(qi + 1, 2), qi + 1).start()
-
-                    get_dma(slot, qi).wait()
-                s = sb_list[qi]
-                bstart = s * SB_BLOCKS
-                bc = jnp.minimum(nb - bstart, SB_BLOCKS)
-
-                # phase 2 slab pre-test (vectorized): the superblock's 8
-                # tri-block boxes in one pass, culled with best_t AT
-                # SUPERBLOCK ENTRY (see docstring)
-                blks = bb_ref[pl.ds(b0 + bstart, SB_BLOCKS)]
-                bbc2 = [blks[:, c:c + 1] for c in range(6)]
-                near2 = vec_slab(bbc2, oiv, div, bt)
-                rmask2 = jax.lax.broadcasted_iota(
-                    i32, (SB_BLOCKS, 1), 0) < bc
-                blknear[...] = jnp.where(rmask2, near2,
-                                         FLT_MAX)[:, None, :]
-
-                def blk_body(bl, carry):
-                    bt, bp, bi = carry
-                    blk = b0 + bstart + bl
-                    blk_ok = jnp.min(blknear[bl]) < FLT_MAX
-
-                    if DEBUG:
-                        @pl.when(blk_ok)
-                        def _():
-                            dbg[0] = dbg[0] + 1
-
-                    def do_blk(carry):
-                        bt, bp, bi = carry
-                        if resident:
-                            Wb = W_hbm[blk]
-                        else:
-                            Wb = wbuf[slot, bl]
-                        q3 = _search_dot(Wb, phiS)
-                        det = q3[0 * TRI_BLOCK:1 * TRI_BLOCK]
-                        ud = q3[1 * TRI_BLOCK:2 * TRI_BLOCK]
-                        vd = q3[2 * TRI_BLOCK:3 * TRI_BLOCK]
-                        td = q3[3 * TRI_BLOCK:4 * TRI_BLOCK]
-                        if EPI == "lean":
-                            u32v = jnp.uint32
-                            sgn = det.view(u32v) & jnp.uint32(0x80000000)
-                            us = (ud.view(u32v) ^ sgn).view(f32)
-                            vs = (vd.view(u32v) ^ sgn).view(f32)
-                            ts = (td.view(u32v) ^ sgn).view(f32)
-                            ad = (det.view(u32v)
-                                  & jnp.uint32(0x7FFFFFFF)).view(f32)
-                            btad = bt * jnp.minimum(ad, f32(3e37))
-                            valid = ((jnp.minimum(us, vs) >= f32(0.0))
-                                     & (us + vs <= ad)
-                                     & (ts.view(u32v) < btad.view(u32v)))
-                            t = jnp.where(valid, ts / ad, FLT_MAX)
-                        else:
-                            inv = f32(1.0) / det
-                            u = ud * inv
-                            v = vd * inv
-                            t = td * inv
-                            valid = ((jnp.minimum(u, v) >= f32(0.0))
-                                     & (u + v <= f32(1.0))
-                                     & (t.view(jnp.uint32)
-                                        < jnp.broadcast_to(
-                                            bt, t.shape).view(jnp.uint32)))
-                            t = jnp.where(valid, t, FLT_MAX)
-                        tmin = jnp.min(t, axis=0, keepdims=True)
-                        upd = tmin < bt
-
-                        def extract(carry):
-                            bt, bp, bi = carry
-                            j = jnp.min(
-                                jnp.where(t == tmin, lane0, 1 << 30),
-                                axis=0, keepdims=True)
-                            bt = jnp.where(upd, tmin, bt)
-                            bp = jnp.where(
-                                upd,
-                                pbase + (bstart + bl) * TRI_BLOCK + j, bp)
-                            bi = jnp.where(upd, iid, bi)
-                            return bt, bp, bi
-
-                        return jax.lax.cond(jnp.any(upd), extract,
-                                            lambda c: c, (bt, bp, bi))
-
-                    return jax.lax.cond(blk_ok, do_blk,
-                                        lambda c: c, (bt, bp, bi))
-
-                return jax.lax.fori_loop(0, bc, blk_body, carry)
-
-            return jax.lax.fori_loop(0, cnt, sb_body, (bt0, bp0, bi0))
-
-        root_hit = jnp.min(nearbuf[im]) < FLT_MAX
-        return jax.lax.cond(root_hit, do_mesh, lambda c: c,
-                            (bt, bp, bi))
-
-    def run_mesh(carry):
-        icnt = run_phase0()
-        return jax.lax.fori_loop(0, icnt, mesh_inst, carry)
-
-    if n_mesh_inst:
-        best_t, best_p, best_i = jax.lax.cond(
-            jnp.any(best_t > f32(0.0)), run_mesh, lambda c: c,
-            (best_t, best_p, best_i))
-
-    # ---- spheres (vectorized): exact quadratic on (ISp, RB); the
-    # reference's sequential <=-tie ("last accepted wins") is preserved
-    # by taking, per lane, the MAX instance id among minimal-t hits ----
-    def run_sph(carry):
-        bt, bp, bi = carry
-        sr = sph_rows_ref[...]
-        oiv, div = vec_transform(sr)
-        radius = sr[:, 19:20]
-        iid_f = sr[:, 20:21]                 # instance id as f32
-        ISp = sr.shape[0]
-        A = div[0] * div[0] + div[1] * div[1] + div[2] * div[2]
-        Bq = f32(2.0) * (div[0] * oiv[0] + div[1] * oiv[1]
-                         + div[2] * oiv[2])
-        C = (oiv[0] * oiv[0] + oiv[1] * oiv[1] + oiv[2] * oiv[2]
-             - radius * radius)
-        disc = Bq * Bq - f32(4.0) * A * C
-        has = disc >= f32(0.0)
-        sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
-        t0 = (-Bq + sq) / f32(2.0)
-        t1 = (-Bq - sq) / f32(2.0)
-        t0 = jnp.where((t0 > t1) & (t1 > f32(0.0)), t1, t0)
-        rmask = jax.lax.broadcasted_iota(i32, (ISp, 1), 0) < n_sph_inst
-        hit = has & (t0 >= f32(1e-5)) & (t0 <= bt) & rmask
-        tm = jnp.where(hit, t0, FLT_MAX)
-        tmin = jnp.min(tm, axis=0, keepdims=True)          # (1, RB)
-        win = jnp.max(jnp.where(hit & (tm == tmin), iid_f, f32(-1.0)),
-                      axis=0, keepdims=True)
-        accept = tmin < FLT_MAX
-        bt = jnp.where(accept, tmin, bt)
-        bp = jnp.where(accept, -1, bp)
-        bi = jnp.where(accept, win.astype(i32), bi)
-        return bt, bp, bi
-
-    if n_sph_inst:
-        best_t, best_p, best_i = jax.lax.cond(
-            jnp.any(best_t > f32(0.0)), run_sph,
-            lambda c: c, (best_t, best_p, best_i))
-
-    if DEBUG:
-        lane_i = jax.lax.broadcasted_iota(i32, (1, RAY_BLOCK), 1)
-        best_p = jnp.where(lane_i == 1, dbg[1], dbg[0])
-    t_ref[0] = best_t
-    prim_ref[0] = best_p
-    iid_ref[0] = best_i
-
-
 # W smaller than this stays fully VMEM-resident (no per-superblock DMA);
 # larger scenes stream superblocks from HBM through a double buffer
 RESIDENT_BYTES = int(os.environ.get("CRAYTPU_W_RESIDENT_BYTES",
@@ -892,64 +538,20 @@ def build_flash2_fn(meta: dict):
     nsb_max = max(int(meta["nsb_max"]), 1)
     resident = int(W_pad.size) * 2 <= RESIDENT_BYTES
 
-    # CRAYTPU_FLASH_V3=1: vectorized-culling kernel (see _kernel3)
-    V3 = os.environ.get("CRAYTPU_FLASH_V3", "0") == "1"
     wspace = pltpu.VMEM if resident else pl.ANY
-    if V3:
-        import numpy as _np
-        mp = _np.asarray(mesh_plan)
-        ir = _np.asarray(inst_rows)
-        IMp = max(n_mesh_inst, 1)
-        ISp = max(n_sph_inst, 1)
-        mesh_rows = _np.zeros((IMp, 24), _np.float32)
-        if n_mesh_inst:
-            mesh_rows[:n_mesh_inst] = ir[mp[:n_mesh_inst, 0]]
-        sp = _np.asarray(sph_plan)
-        sph_rows = _np.zeros((ISp, 24), _np.float32)
-        if n_sph_inst:
-            sph_rows[:n_sph_inst] = ir[sp[:n_sph_inst, 0]]
-            sph_rows[:n_sph_inst, 20] = sp[:n_sph_inst, 0]
-        inv_box = _np.array([FLT_MAX, -FLT_MAX] * 3 + [0, 0],
-                            _np.float32)
-        bb_v = _np.concatenate(
-            [_np.asarray(bb), _np.tile(inv_box, (SB_BLOCKS, 1))])
-        sbbb_v = _np.concatenate(
-            [_np.asarray(sb_bb), _np.tile(inv_box, (nsb_max, 1))])
-        mesh_rows = jnp.asarray(mesh_rows)
-        sph_rows = jnp.asarray(sph_rows)
-        bb_v = jnp.asarray(bb_v)
-        sbbb_v = jnp.asarray(sbbb_v)
-        kern = functools.partial(_kernel3, n_mesh_inst=n_mesh_inst,
-                                 n_sph_inst=n_sph_inst, nsb_max=nsb_max,
-                                 resident=resident)
-        scratch = [
-            pltpu.VMEM((1 if resident else 2, SB_BLOCKS, 4 * PHI_DIM,
-                        4 * TRI_BLOCK), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((nsb_max,), i32),              # sb worklist
-            pltpu.SMEM((nsb_max,), f32),              # sb entry keys
-            pltpu.SMEM((IMp,), i32),                  # instance order
-            pltpu.SMEM((IMp,), f32),                  # instance keys
-            pltpu.VMEM((IMp, 1, RAY_BLOCK), f32),     # inst entry rows
-            pltpu.VMEM((nsb_max, 1, RAY_BLOCK), f32),  # sb entry rows
-            pltpu.VMEM((SB_BLOCKS, 1, RAY_BLOCK), f32),  # blk entry rows
-            pltpu.VMEM((IMp, 8, RAY_BLOCK), f32),     # cached transforms
-            pltpu.SMEM((2,), i32),                    # debug counters
-        ]
-    else:
-        kern = functools.partial(_kernel, n_mesh_inst=n_mesh_inst,
-                                 n_sph_inst=n_sph_inst, nsb_max=nsb_max,
-                                 resident=resident)
-        scratch = [
-            pltpu.VMEM((1 if resident else 2, SB_BLOCKS, 4 * PHI_DIM,
-                        4 * TRI_BLOCK), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((nsb_max,), i32),                  # sb worklist
-            pltpu.SMEM((nsb_max,), f32),                  # sb entry keys
-            pltpu.SMEM((max(n_mesh_inst, 1),), i32),      # instance order
-            pltpu.SMEM((max(n_mesh_inst, 1),), f32),      # instance keys
-            pltpu.SMEM((2,), i32),                        # debug counters
-        ]
+    kern = functools.partial(_kernel, n_mesh_inst=n_mesh_inst,
+                             n_sph_inst=n_sph_inst, nsb_max=nsb_max,
+                             resident=resident)
+    scratch = [
+        pltpu.VMEM((1 if resident else 2, SB_BLOCKS, 4 * PHI_DIM,
+                    4 * TRI_BLOCK), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SMEM((nsb_max,), i32),                  # sb worklist
+        pltpu.SMEM((nsb_max,), f32),                  # sb entry keys
+        pltpu.SMEM((max(n_mesh_inst, 1),), i32),      # instance order
+        pltpu.SMEM((max(n_mesh_inst, 1),), f32),      # instance keys
+        pltpu.SMEM((2,), i32),                        # debug counters
+    ]
     vmem_limit = min(int(W_pad.size) * 2 + (32 << 20), 110 << 20) \
         if resident else (48 << 20)
 
@@ -978,25 +580,6 @@ def build_flash2_fn(meta: dict):
             jax.ShapeDtypeStruct((nrb, 1, RAY_BLOCK), i32),
             jax.ShapeDtypeStruct((nrb, 1, RAY_BLOCK), i32),
         ]
-        if V3:
-            return pl.pallas_call(
-                kern,
-                interpret=interpret,
-                grid=(nrb,),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pltpu.SMEM),  # mesh_plan
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # mesh_rows
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # sph_rows
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # bb (padded)
-                    pl.BlockSpec(memory_space=pltpu.VMEM),  # sb_bb (pad)
-                ] + ray_specs,
-                out_specs=out_specs,
-                out_shape=out_shape,
-                scratch_shapes=scratch,
-                compiler_params=pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit),
-            )(mesh_plan, mesh_rows, sph_rows, bb_v, sbbb_v, rays_T,
-              limit_T, W_pad)
         return pl.pallas_call(
             kern,
             interpret=interpret,
