@@ -861,7 +861,35 @@ class WavefrontRenderer:
             x = (x | (x << 2)) & 0x09249249
             return x
 
-        pos_major = _os.environ.get("CRAYTPU_SORT_KEY", "octant") == "pos"
+        mode = _os.environ.get("CRAYTPU_SORT_KEY", "octant")
+        if mode == "dirfine":
+            # direction-major key: octant + 2x2 sub-octant bits of the
+            # normalized |d| simplex, THEN an 8-bit/axis Morton code.
+            # Hypothesis (docs/kernel_perf_analysis.md #1): kernel visits
+            # are set by the UNION of blocks a ray block needs; rays from
+            # nearby origins but spread directions still union many
+            # superblocks, so trading 1 bit/axis of position resolution
+            # for 4 bits of direction could shrink the union.
+            dbits = min(bits, 8)
+            dtop = float((1 << dbits) - 1)
+            dinv_ext = jnp.asarray((dtop / ext).astype(np.float32))
+
+            def key_fn(o, d, alive):
+                q = jnp.clip(((o - lo) * dinv_ext), 0.0, dtop).astype(u32)
+                ax, ay, az = (jnp.abs(d[:, 0]), jnp.abs(d[:, 1]),
+                              jnp.abs(d[:, 2]))
+                asum = jnp.maximum(ax + ay + az, 1e-20)
+                qx = jnp.minimum((ax / asum * 4).astype(u32), u32(3))
+                qy = jnp.minimum((ay / asum * 4).astype(u32), u32(3))
+                octant = ((d[:, 0] < 0) + 2 * (d[:, 1] < 0)
+                          + 4 * (d[:, 2] < 0)).astype(u32)
+                dirk = (octant << 4) | (qx << 2) | qy
+                m = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                     | (spread3(q[:, 2]) << 2))
+                key = (dirk << (3 * dbits)) | m
+                return jnp.where(alive, key, jnp.uint32(0xFFFFFFFF))
+            return key_fn
+        pos_major = mode == "pos"
 
         def key_fn(o, d, alive):
             q = jnp.clip(((o - lo) * inv_ext), 0.0, top).astype(u32)

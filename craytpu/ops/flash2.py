@@ -61,9 +61,18 @@ PHI_DIM = 16                # 10 used: [d, o, d x o, 1]; padded for MXU
 _DN = (((0,), (0,)), ((), ()))  # contract dim 0 of both (lhs transposed)
 
 
+def _stack_factor() -> int:
+    """4 (default, full double-bf16) or 3 (CRAYTPU_FLASH_K=48: drop the
+    W_lo.p_lo cross term — classic bf16x3 accuracy — for 25% less MXU
+    contraction depth). Read when the scene is compiled (split_hi_lo);
+    the kernel derives it from the stored W layout, so a process always
+    runs a self-consistent pair."""
+    return 3 if os.environ.get("CRAYTPU_FLASH_K", "64") == "48" else 4
+
+
 def split_hi_lo(W: np.ndarray):
-    """f32 (NB, PHI, 4*TB) -> stacked bf16 (NB, 4*PHI, 4*TB) coefficient
-    blocks [W_hi; W_lo; W_hi; W_lo].
+    """f32 (NB, PHI, 4*TB) -> stacked bf16 (NB, SF*PHI, 4*TB) coefficient
+    blocks [W_hi; W_lo; W_hi(; W_lo)].
 
     The winner search needs ~f32 accuracy (1-pass bf16 misclassifies u/v
     near shared edges -> light leaks), but three separate K=16 bf16
@@ -74,18 +83,26 @@ def split_hi_lo(W: np.ndarray):
     product accumulates W_hi.p_hi + W_lo.p_hi + W_hi.p_lo + W_lo.p_lo =
     (W_hi+W_lo).(p_hi+p_lo), i.e. a full bf16-pair product (~2^-27
     relative, better than bf16x3) for the price of one pass.
+
+    CRAYTPU_FLASH_K=48 drops the last [W_lo] group (and _stack_phi its
+    [p_lo]), losing only W_lo.p_lo (~2^-16 relative) — the exact winner
+    recompute outside the kernel (ops/hitrec.py) still emits bit-exact
+    hit data; only near-tie winner SELECTION can differ.
     """
     import numpy as _np
     Whi = W.astype(_np.float32).astype(jnp.bfloat16)
     Wlo = (W - Whi.astype(_np.float32)).astype(jnp.bfloat16)
-    return _np.concatenate([Whi, Wlo, Whi, Wlo], axis=1)
+    groups = [Whi, Wlo, Whi] if _stack_factor() == 3 else \
+        [Whi, Wlo, Whi, Wlo]
+    return _np.concatenate(groups, axis=1)
 
 
-def _stack_phi(phiT):
-    """(PHI, RB) f32 -> (4*PHI, RB) bf16 [p_hi; p_hi; p_lo; p_lo]."""
+def _stack_phi(phiT, sf=4):
+    """(PHI, RB) f32 -> (sf*PHI, RB) bf16 [p_hi; p_hi; p_lo(; p_lo)]."""
     p_hi = phiT.astype(jnp.bfloat16)
     p_lo = (phiT - p_hi.astype(f32)).astype(jnp.bfloat16)
-    return jnp.concatenate([p_hi, p_hi, p_lo, p_lo], axis=0)
+    groups = [p_hi, p_hi, p_lo] if sf == 3 else [p_hi, p_hi, p_lo, p_lo]
+    return jnp.concatenate(groups, axis=0)
 
 
 def _search_dot(Wb_stack, phiS):
@@ -161,7 +178,7 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
             rays_ref, limit_ref, W_hbm,
             t_ref, prim_ref, iid_ref,
             wbuf, sems, sb_list, sb_keys, inst_list, inst_keys, dbg,
-            *, n_mesh_inst, n_sph_inst, nsb_max, resident):
+            *, n_mesh_inst, n_sph_inst, nsb_max, resident, sf=4):
     """One 256-ray block vs the whole scene.
 
     plan_ref:    (IM, 6) i32 SMEM [inst_id, blk_start, nblocks, sb_start,
@@ -280,7 +297,7 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
             di[0], di[1], di[2], oi[0], oi[1], oi[2], w_x, w_y, w_z,
             jnp.ones((1, RAY_BLOCK), f32),
             jnp.zeros((PHI_DIM - 10, RAY_BLOCK), f32)], axis=0)
-        phiS = _stack_phi(phiT)
+        phiS = _stack_phi(phiT, sf)
 
         def do_mesh(carry):
             bt0, bp0, bi0 = carry
@@ -537,13 +554,14 @@ def build_flash2_fn(meta: dict):
     n_sph_inst = int(sph_plan.shape[0]) if meta["n_sph_inst"] else 0
     nsb_max = max(int(meta["nsb_max"]), 1)
     resident = int(W_pad.size) * 2 <= RESIDENT_BYTES
+    sf = int(W_pad.shape[1]) // PHI_DIM   # 4 or 3, see _stack_factor
 
     wspace = pltpu.VMEM if resident else pl.ANY
     kern = functools.partial(_kernel, n_mesh_inst=n_mesh_inst,
                              n_sph_inst=n_sph_inst, nsb_max=nsb_max,
-                             resident=resident)
+                             resident=resident, sf=sf)
     scratch = [
-        pltpu.VMEM((1 if resident else 2, SB_BLOCKS, 4 * PHI_DIM,
+        pltpu.VMEM((1 if resident else 2, SB_BLOCKS, sf * PHI_DIM,
                     4 * TRI_BLOCK), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((2,)),
         pltpu.SMEM((nsb_max,), i32),                  # sb worklist

@@ -47,17 +47,34 @@ def main():
     xs, ys = xs[:B], ys[:B]
     o0, d0, s = r._init_rays(xs, ys, jnp.int32(0), jnp.int32(16))
 
-    # realistic state: 3 bounces then Morton sort (like the pool at refill)
+    # realistic state: 3 bounces then Morton sort (like the pool at
+    # refill). Bounced in 256k chunks: the plain (non-donating) dynamic
+    # step at the full 1M width faults the axon TPU worker (2026-08-18;
+    # the donated pool-step path at 1M is fine — bench.py runs it), and
+    # chunked bouncing produces the identical state anyway.
     step = r._make_step("dynamic")
     stepj = jax.jit(lambda o, d, w, fin, st, alive: step(
         cs.params, cs.geom, cs.shade, cs.mat_graph, o, d, w, fin, st,
         alive, False))
-    w = jnp.ones((B, 4), jnp.float32)
-    fin = jnp.zeros((B, 4), jnp.float32)
-    alive = jnp.ones(B, bool)
-    o, d, st = o0, d0, s
-    for _ in range(3):
-        o, d, w, fin, st, alive = stepj(o, d, w, fin, st, alive)
+    CH = min(B, 262144)
+    parts = []
+    for c0 in range(0, B, CH):
+        sl = slice(c0, c0 + CH)
+        o, d = o0[sl], d0[sl]
+        st = jax.tree.map(lambda x: x[sl], s)
+        w = jnp.ones((CH, 4), jnp.float32)
+        fin = jnp.zeros((CH, 4), jnp.float32)
+        alive = jnp.ones(CH, bool)
+        for _ in range(3):
+            o, d, w, fin, st, alive = stepj(o, d, w, fin, st, alive)
+        jax.block_until_ready(o)
+        parts.append((o, d, w, st, alive))
+    o = jnp.concatenate([p[0] for p in parts])
+    d = jnp.concatenate([p[1] for p in parts])
+    w = jnp.concatenate([p[2] for p in parts])
+    st = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                      *[p[3] for p in parts])
+    alive = jnp.concatenate([p[4] for p in parts])
     key_fn = r._morton_key()
     order = jnp.argsort(key_fn(o, d, alive))
     o, d, w = o[order], d[order], w[order]
