@@ -167,8 +167,9 @@ def main(argv: list[str] | None = None) -> int:
     nee = bool(opts.get("nee"))
     if nee:
         logging.info("Next-event estimation enabled (--nee)")
-    if opts.get("resume") or clustering:
-        # persistent checkpoints and the TCP tier are single-device paths
+    if clustering:
+        # the TCP master keeps a single-device local renderer; remote
+        # workers use all THEIR local devices (cluster.py make_renderer)
         r = WavefrontRenderer(cscene, kind=kind, nee=nee)
     else:
         r = make_renderer(cscene, kind=kind, nee=nee)
@@ -190,9 +191,11 @@ def main(argv: list[str] | None = None) -> int:
                     "Checkpoint %s does not match this render "
                     "(shape %s vs %s, spp %d vs %d)", opts["resume"],
                     shape, (r.height, r.width), total, spp)
-            logging.info("Resuming persistent render at %d/%d queue "
-                         "entries (%d in-flight paths re-traced)",
-                         persist_resume["qpos"], r.width * r.height * spp,
+            left = (len(persist_resume["pending"])
+                    + sum(b - a for a, b in persist_resume["ranges"]))
+            logging.info("Resuming persistent render: %d/%d queue entries "
+                         "left (%d in-flight paths re-traced)",
+                         left, r.width * r.height * spp,
                          len(persist_resume["pending"]))
         else:
             acc_np, start_pass, total = checkpoint.load(opts["resume"])
@@ -309,9 +312,9 @@ def main(argv: list[str] | None = None) -> int:
                 if now - last_fetch[0] < 2.0 or done <= 0:
                     return
                 last_fetch[0] = now
-                fs = np.asarray(final_dev)
-                if fs.ndim == 3:            # sharded per-device partials
-                    fs = fs.sum(axis=0)
+                # fetch_partial reduces sharded per-device partials to a
+                # replicated frame first (multi-host safe)
+                fs = r.fetch_partial(final_dev)
                 denom = max(done / npix, 1e-9)
                 preview_srv.update((fs / denom).reshape(
                     r.height, r.width, 4), done, npix * spp)
@@ -343,20 +346,16 @@ def main(argv: list[str] | None = None) -> int:
         finally:
             signal.signal(signal.SIGINT, prev_handler)
         sys.stderr.write("\n")
-        if isinstance(out, tuple) and out[0] == "aborted":
-            # sharded mode: per-device queue positions are not
-            # checkpointable; abort like the reference's X key
-            logging.info("Aborting sharded render (no checkpoint; "
-                         "re-run single-device for --resume support)")
-            return 130
         if isinstance(out, tuple) and out[0] == "interrupted":
-            _, final_sum, pending, qpos = out
+            _, final_sum, pending, ranges = out
             logging.info("Aborting persistent render; checkpointing "
                          "(%d in-flight paths recorded)", len(pending))
-            checkpoint.save_persistent(ckpt_path, final_sum, qpos, pending,
-                                       spp, (r.height, r.width))
-            logging.info("Wrote checkpoint %s (resume with --resume)",
-                         ckpt_path)
+            if _proc0():
+                checkpoint.save_persistent(ckpt_path, final_sum, pending,
+                                           ranges, spp,
+                                           (r.height, r.width))
+                logging.info("Wrote checkpoint %s (resume with --resume)",
+                             ckpt_path)
             return 130
         accum = jnp.asarray(out)
     else:
@@ -400,9 +399,11 @@ def main(argv: list[str] | None = None) -> int:
             sys.stderr.write("\n")
             logging.info("Aborting render (pass %d/%d); checkpointing",
                          p_done, spp)
-            checkpoint.save(ckpt_path, np.asarray(prev_accum), p_done, spp)
-            logging.info("Wrote checkpoint %s (resume with --resume)",
-                         ckpt_path)
+            if _proc0():
+                checkpoint.save(ckpt_path, np.asarray(prev_accum), p_done,
+                                spp)
+                logging.info("Wrote checkpoint %s (resume with --resume)",
+                             ckpt_path)
             accum = prev_accum
 
     render_ms = (time.perf_counter() - t0) * 1e3
@@ -413,10 +414,12 @@ def main(argv: list[str] | None = None) -> int:
     logging.info("Finished render in %s", logging.smart_time(render_ms))
 
     # ---- write image (main.c:30, c-ray.c:85-111) ----
-    from craytpu.api import Renderer
-    api = Renderer(scene=scene, compiled=cscene,
-                   framebuffer=np.asarray(accum), render_time_ms=render_ms)
-    api.write_image()
+    if _proc0():
+        from craytpu.api import Renderer
+        api = Renderer(scene=scene, compiled=cscene,
+                       framebuffer=np.asarray(accum),
+                       render_time_ms=render_ms)
+        api.write_image()
     return 130 if interrupted else 0
 
 
@@ -426,3 +429,13 @@ def _backend_name() -> str:
         return jax.devices()[0].platform
     except Exception:
         return "unknown"
+
+
+def _proc0() -> bool:
+    """True on the (only) process of a single-host run or process 0 of a
+    multi-host run — checkpoint/image writes happen once."""
+    try:
+        import jax
+        return jax.process_index() == 0
+    except Exception:
+        return True

@@ -1167,31 +1167,19 @@ class WavefrontRenderer:
         force_k = bool(k_env)   # explicit k disables the drain fusion
 
         total = npix * spp
-        qpos = 0                        # queue position in [0, total)
-        pending: list = []              # re-enqueued (resume) queue ids
+        from craytpu.runtime.checkpoint import GidQueue
         final = jnp.zeros((npix, 4), f32)
         if resume is not None:
             final = jnp.asarray(resume["final_sum"], f32).reshape(npix, 4)
-            qpos = int(resume["qpos"])
-            pending = list(np.asarray(resume["pending"], np.int64))
+            queue = GidQueue(pending=resume["pending"],
+                             ranges=resume["ranges"])
+        else:
+            queue = GidQueue(ranges=[[0, total]])
 
         def take(n):
             """Next n queue entries as fresh primaries (+ alive mask).
             Entries past the end of the queue are padded dead."""
-            nonlocal qpos, pending
-            ids = []
-            if pending:
-                ids = pending[:n]
-                pending = pending[len(ids):]
-            rem = n - len(ids)
-            if rem:
-                tk = min(rem, total - qpos)
-                ids = np.concatenate([
-                    np.asarray(ids, np.int64),
-                    np.arange(qpos, qpos + tk, dtype=np.int64)])
-                qpos += tk
-            else:
-                ids = np.asarray(ids, np.int64)
+            ids = queue.take(n)
             took = ids.shape[0]
             ids_pad = np.concatenate(
                 [ids, np.zeros(n - took, np.int64)]) if took < n else ids
@@ -1206,7 +1194,7 @@ class WavefrontRenderer:
             return o, d, s, lane, passes, falive, took
 
         def queue_left():
-            return len(pending) + (total - qpos)
+            return queue.left()
 
         # prime the pool
         o, d, s, lane, lpass, alive, took = take(B)
@@ -1254,7 +1242,7 @@ class WavefrontRenderer:
             # at any render phase (ui.c:190-233 responsiveness analogue)
             if interrupt is not None and interrupt():
                 return self._persistent_interrupt(
-                    final, alive, lane, lpass, delta, npix, qpos)
+                    final, alive, lane, lpass, delta, npix, queue)
 
             if queue_left() > 0 and Bc == B and stale_n <= B - Q:
                 # fused flush+pack+refill on the LAGGED count: it only
@@ -1273,7 +1261,7 @@ class WavefrontRenderer:
                     if stats_on:
                         stats["refill"][0] += 1
                         hist[("refill", m)] = hist.get(("refill", m), 0) + 1
-                    if pending:
+                    if queue.pending:
                         # resume path: non-contiguous re-enqueued ids go
                         # through the host-side fresh-ray builder
                         (fo, fd, fs, flane, fpass, falive,
@@ -1286,16 +1274,20 @@ class WavefrontRenderer:
                             falive)
                     else:
                         # device-side refill: fresh primaries generated
-                        # inside the same dispatch from the queue counter
-                        took = min(m * Q, total - qpos)
+                        # inside the same dispatch from the head of the
+                        # current contiguous id range
+                        lo, hi = queue.ranges[0]
+                        took = min(m * Q, hi - lo)
                         (final, o, d, weight, s, alive, lane, lpass,
                          pdepth, delta) = self._flush_pack_refill(
                             B, m, Q)(
                             final, o, d, weight, s, alive, lane, lpass,
-                            pdepth, delta, np.int32(qpos % npix),
-                            np.int32(qpos // npix), np.int32(took),
+                            pdepth, delta, np.int32(lo % npix),
+                            np.int32(lo // npix), np.int32(took),
                             i32(spp))
-                        qpos += took
+                        queue.ranges[0][0] += took
+                        if queue.ranges[0][0] >= hi:
+                            queue.ranges.pop(0)
                     if sync_on:
                         _acct("refill", ("refill", m), final)
                     # counts issued before this refill undercount by took
@@ -1357,11 +1349,19 @@ class WavefrontRenderer:
             return final.reshape(H, W, 4)
         return jax.device_get(final.reshape(H, W, 4))
 
+    def fetch_partial(self, final) -> np.ndarray:
+        """Host copy of the in-progress radiance-sum frame (npix, 4) —
+        the preview fetch hook (overridden by the sharded renderer to
+        reduce per-device partials first)."""
+        return np.asarray(final)
+
     def _persistent_interrupt(self, final, alive, lane, lpass, delta,
-                              npix, qpos):
+                              npix, queue):
         """Checkpoint state at an interrupt: flush completed (dead) lanes'
-        radiance, collect in-flight (pixel, pass) queue ids to re-trace.
-        Returns ("interrupted", final_sum (npix,4) np, pending ids, qpos)."""
+        radiance, collect in-flight (pixel, pass) queue ids to re-trace,
+        and keep the un-taken queue (any not-yet-consumed re-enqueued ids
+        plus the remaining ranges). Returns
+        ("interrupted", final_sum (npix,4) np, pending ids, ranges)."""
         final = self._final_flush()(final, lane, delta, alive)
         alive_h = np.asarray(alive)
         lane_h = np.asarray(lane)[alive_h]
@@ -1373,8 +1373,10 @@ class WavefrontRenderer:
         inv = np.empty(npix, np.int64)
         inv[ys_f.astype(np.int64) * self.width + xs_f] = np.arange(npix)
         pend = pass_h.astype(np.int64) * npix + inv[lane_h]
-        # the remaining queue tail is re-taken on resume via qpos
-        return ("interrupted", np.asarray(final), pend, qpos)
+        pend = np.concatenate(
+            [pend, np.asarray(queue.pending, np.int64)])
+        return ("interrupted", np.asarray(final), pend,
+                [list(r) for r in queue.ranges])
 
 
 def render(cscene: CompiledScene, kind: str = smp.RANDOM,

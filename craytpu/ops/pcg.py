@@ -173,15 +173,49 @@ def wrap_add(u, v):
     return jnp.where(s < f32(1.0), s, s - f32(1.0))
 
 
+def radical_inverse_dyn(pass_idx, base):
+    """radical_inverse with a TRACED (possibly per-lane) base.
+
+    Bit-identical to the static version: inv_base = 1/base is a correctly
+    rounded f32 division, equal to f32(1.0/b) for every Halton prime, and
+    the digit loop performs the same f32 multiplies in the same order.
+    The while_loop runs until EVERY lane's digits are exhausted; finished
+    lanes hold their values (where-guarded), so per-lane results match
+    the scalar loop exactly."""
+    base = jnp.asarray(base, i32)
+    inv_base = f32(1.0) / base.astype(f32)
+
+    def cond(c):
+        p, _, _ = c
+        return jnp.any(p > 0)
+
+    def body(c):
+        p, rev, inv_n = c
+        nxt = p // base
+        digit = p - base * nxt
+        active = p > 0
+        rev = jnp.where(active, rev * base + digit, rev)
+        inv_n = jnp.where(active, inv_n * inv_base, inv_n)
+        return jnp.where(active, nxt, p), rev, inv_n
+
+    p0 = jnp.asarray(pass_idx, i32)
+    _, reversed_digits, inv_base_n = jax.lax.while_loop(
+        cond, body, (p0, jnp.zeros_like(p0),
+                     jnp.full(jnp.shape(p0), 1.0, f32)))
+    return jnp.minimum(reversed_digits.astype(f32) * inv_base_n,
+                       f32(0.99999994))
+
+
 def halton_dimension(pass_idx, prime_idx, rnd_offset):
     """One Halton sample with Cranley-Patterson rotation (halton.c:25-31).
 
     prime_idx is the running dimension counter; base cycles through the 6
-    primes. Returns (value, next_prime_idx).
+    primes. Works on scalars AND per-lane arrays (the wavefront advances
+    each lane's dimension counter independently), so the base is fetched
+    from a table and the radical inverse runs with a traced base.
+    Returns (value, next_prime_idx).
     """
-    branches = [
-        partial(radical_inverse, base=b) for b in HALTON_PRIMES
-    ]
-    ri = jax.lax.switch(jnp.asarray(prime_idx, i32) % len(HALTON_PRIMES),
-                        branches, pass_idx)
-    return wrap_add(ri, rnd_offset), jnp.asarray(prime_idx, i32) + 1
+    prime_idx = jnp.asarray(prime_idx, i32)
+    base = jnp.asarray(HALTON_PRIMES, i32)[prime_idx % len(HALTON_PRIMES)]
+    ri = radical_inverse_dyn(pass_idx, base)
+    return wrap_add(ri, rnd_offset), prime_idx + 1

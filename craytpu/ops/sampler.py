@@ -78,11 +78,9 @@ def get_dimension(kind: str, s: SamplerState):
         v, nxt = pcg.halton_dimension(s.curr_pass, s.curr_prime, s.rnd_offset)
         return v, s._replace(curr_prime=nxt)
     if kind == HAMMERSLEY:
-        from functools import partial
-        branches = [partial(pcg.radical_inverse, base=b)
-                    for b in pcg.HALTON_PRIMES]
-        ri = jax.lax.switch(s.curr_prime % len(pcg.HALTON_PRIMES),
-                            branches, s.curr_pass)
+        base = jnp.asarray(pcg.HALTON_PRIMES, i32)[
+            s.curr_prime % len(pcg.HALTON_PRIMES)]
+        ri = pcg.radical_inverse_dyn(s.curr_pass, base)
         # reference: currPrime only advances when currPass > 0
         taken = s.curr_pass > 0
         u = jnp.where(taken, ri,

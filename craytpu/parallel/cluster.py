@@ -82,8 +82,22 @@ def render_tile(renderer, tile_dict, spp, tile_w, tile_h):
     """Render every sample of one tile -> (h, w, 4) float32.
 
     Same per-(pixel, pass) streams as a whole-frame render, so tile-based
-    cluster renders are bit-identical to local ones."""
+    cluster renders match local ones (bit-identically on a single-device
+    renderer; up to float accumulation order on a mesh-sharded one).
+
+    A multi-device renderer (ShardedPoolRenderer) maps the tile to its
+    contiguous ranges of the tile-order pixel schedule — one per pass —
+    and renders them as ONE persistent pool spread over every local
+    device (worker.c:221-289 full-thread-pool analogue)."""
     import jax.numpy as jnp
+    ranges = _tile_gid_ranges(renderer, tile_dict, spp)
+    if ranges is not None and hasattr(renderer, "render_ids"):
+        H, W = renderer.height, renderer.width
+        fb = renderer.render_ids(ranges, spp) / np.float32(spp)
+        fb = fb.reshape(H, W, 4)
+        return np.ascontiguousarray(
+            fb[tile_dict["begin_y"]:tile_dict["end_y"],
+               tile_dict["begin_x"]:tile_dict["end_x"]])
     xs, ys = _tile_xy(tile_dict, tile_w, tile_h, renderer.width)
     acc = jnp.zeros((xs.shape[0], 4), jnp.float32)
     for p in range(spp):
@@ -93,6 +107,24 @@ def render_tile(renderer, tile_dict, spp, tile_w, tile_h):
     acc = acc.reshape(tile_h, tile_w, 4)
     return acc[:tile_dict["end_y"] - tile_dict["begin_y"],
                :tile_dict["end_x"] - tile_dict["begin_x"]]
+
+
+def _tile_gid_ranges(renderer, tile_dict, spp):
+    """Map a master tile to this renderer's pixel-schedule id ranges
+    (gid = pass * npix + sched_index), one contiguous range per pass —
+    or None when the tile doesn't align with a whole schedule tile
+    (mismatched tile prefs between master and worker)."""
+    _, _, _, _, tiles, offsets = renderer._pixel_schedule
+    npix = renderer.width * renderer.height
+    for k, t in enumerate(tiles):
+        if (t.begin_x == tile_dict["begin_x"]
+                and t.begin_y == tile_dict["begin_y"]
+                and t.end_x == tile_dict["end_x"]
+                and t.end_y == tile_dict["end_y"]):
+            off, cnt = int(offsets[k]), int(offsets[k + 1] - offsets[k])
+            return [[p * npix + off, p * npix + off + cnt]
+                    for p in range(spp)]
+    return None
 
 
 class TileQueue:
@@ -137,11 +169,23 @@ class TileQueue:
 # ---------------------------------------------------------------------------
 
 def _worker_build_renderer(scene_text, overrides, asset_path):
+    """Worker-side renderer over ALL local devices: the reference worker
+    spawns its full thread pool per tile job (worker.c:221-289); ours
+    builds the mesh-sharded pool renderer when >1 chip is visible, so
+    the TCP tier and the ICI mesh tier compose."""
     from craytpu.scene.sceneloader import load_scene_from_buf
     from craytpu.scene.compile import compile_scene
-    from craytpu.models.wavefront_pt import WavefrontRenderer
+    from craytpu.parallel.pool_shard import make_renderer
     scene = load_scene_from_buf(scene_text, asset_path, overrides or {})
-    return scene, WavefrontRenderer(compile_scene(scene))
+    return scene, make_renderer(compile_scene(scene))
+
+
+def _local_device_count() -> int:
+    try:
+        import jax
+        return len(jax.local_devices())
+    except Exception:
+        return 1
 
 
 def serve_connection(conn: socket.socket) -> bool:
@@ -172,7 +216,8 @@ def serve_connection(conn: socket.socket) -> bool:
             scene, renderer = _worker_build_renderer(
                 msg["scene"], msg.get("overrides"), msg.get("assetPath", ""))
             send_json(conn, {"action": "ready",
-                             "threads": os.cpu_count() or 1})
+                             "threads": os.cpu_count() or 1,
+                             "devices": _local_device_count()})
         elif action == "startRender":
             spp = int(msg.get("spp") or scene.prefs.sample_count)
             tw, th = scene.prefs.tile_width, scene.prefs.tile_height
@@ -306,7 +351,8 @@ def sync_with_clients(nodes_list: str, scene_text: str, asset_path: str,
                             addr[1], r)
             s.close()
             continue
-        logging.info("Worker %s:%d ready (%s threads)", addr[0], addr[1],
+        logging.info("Worker %s:%d ready (%s devices, %s threads)",
+                     addr[0], addr[1], r.get("devices", 1),
                      r.get("threads"))
         clients.append((addr, s))
     return clients

@@ -30,12 +30,13 @@ def test_persistent_roundtrip(tmp_path):
     p = str(tmp_path / "c.npz")
     fs = np.ones((24, 4), np.float32)
     pend = np.array([5, 99, 12], np.int64)
-    checkpoint.save_persistent(p, fs, 1234, pend, 8, (4, 6))
+    ranges = [[100, 120], [150, 192]]  # one per device of the render
+    checkpoint.save_persistent(p, fs, pend, ranges, 8, (4, 6))
     assert checkpoint.kind(p) == "persistent"
     resume, total, shape = checkpoint.load_persistent(p)
     np.testing.assert_array_equal(resume["final_sum"], fs)
     np.testing.assert_array_equal(resume["pending"], pend)
-    assert resume["qpos"] == 1234
+    assert resume["ranges"] == ranges
     assert total == 8 and shape == (4, 6)
 
 
@@ -59,15 +60,27 @@ def test_persistent_interrupt_resume_lossless(monkeypatch):
 
     out = r.render_persistent(spp=spp, interrupt=interrupt)
     assert isinstance(out, tuple) and out[0] == "interrupted"
-    _, final_sum, pending, qpos = out
+    _, final_sum, pending, ranges = out
     npix = r.width * r.height
-    assert 0 < qpos <= npix * spp
+    assert ranges and 0 < ranges[0][0] <= npix * spp
     assert len(pending) > 0          # genuinely mid-flight
 
     resumed = r.render_persistent(
-        spp=spp, resume={"final_sum": final_sum, "qpos": qpos,
-                         "pending": pending})
+        spp=spp, resume={"final_sum": final_sum, "pending": pending,
+                         "ranges": ranges})
     np.testing.assert_allclose(resumed, ref, rtol=2e-5, atol=2e-6)
+
+    # a v1-era resume dict (single qpos) still loads via the checkpoint
+    # module: round trip through the on-disk format
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "c.npz")
+        checkpoint.save_persistent(p, final_sum, pending, ranges, spp,
+                                   (r.height, r.width))
+        resume2, total2, shape2 = checkpoint.load_persistent(p)
+        assert total2 == spp and shape2 == (r.height, r.width)
+        resumed2 = r.render_persistent(spp=spp, resume=resume2)
+        np.testing.assert_allclose(resumed2, ref, rtol=2e-5, atol=2e-6)
 
 
 def test_args_resume_value_not_scene(tmp_path):

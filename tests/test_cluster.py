@@ -159,3 +159,34 @@ def test_dead_worker_tiles_reclaimed():
     # reclaimed tiles go to the END of the queue (tile.c:32-41)
     assert q.next_tile("local") == 3
     assert q.next_tile("local") in (0, 1)
+
+
+def test_worker_renderer_uses_all_local_devices():
+    """VERDICT r3 item 5: a worker host with multiple chips renders tiles
+    on ALL of them (worker.c:221-289 full-pool analogue). On the 8-device
+    test mesh the worker-side factory must build the sharded renderer and
+    its tile output must match the single-device tile path."""
+    import jax
+    from craytpu.scene.sceneloader import load_scene_from_buf
+    from craytpu.scene.compile import compile_scene
+    from craytpu.models.wavefront_pt import WavefrontRenderer
+    from craytpu.parallel.pool_shard import ShardedPoolRenderer
+
+    text = json.dumps(SCENE)
+    scene, r = cluster._worker_build_renderer(text, {}, "")
+    assert isinstance(r, ShardedPoolRenderer)
+    assert r.D == len(jax.devices()) == 8
+
+    single = WavefrontRenderer(compile_scene(
+        load_scene_from_buf(text, "", {})))
+    spp = 3
+    tw = min(scene.prefs.tile_width, r.width)
+    th = min(scene.prefs.tile_height, r.height)
+    t = {"begin_x": 0, "begin_y": 0, "end_x": tw, "end_y": th}
+    multi = cluster.render_tile(r, t, spp, tw, th)
+    ref = cluster.render_tile(single, t, spp, tw, th)
+    assert multi.shape == ref.shape
+    np.testing.assert_allclose(multi, ref, rtol=2e-5, atol=2e-6)
+    # determinism: the mesh tile render is reproducible byte-for-byte
+    multi2 = cluster.render_tile(r, t, spp, tw, th)
+    np.testing.assert_array_equal(multi, multi2)

@@ -113,3 +113,24 @@ def test_vmapped_streams_independent():
         lambda st: sampler.get_dimension(sampler.RANDOM, st)))(s)
     want = [ref.random_stream(int(p), 25, 3, 1)[0] for p in pix]
     np.testing.assert_array_equal(np.asarray(v), np.float32(want))
+
+
+def test_halton_dimension_batched_matches_scalar():
+    """The wavefront advances each lane's Halton dimension counter
+    independently (conditional sampler consumption), so halton_dimension
+    must accept PER-LANE prime indices and match the scalar path
+    bit-exactly (the --iterative product tier runs this batched)."""
+    import jax.numpy as jnp
+    from craytpu.ops import pcg
+
+    passes = np.array([0, 1, 2, 3, 7, 100, 12345, 1 << 20], np.int32)
+    primes = np.array([0, 1, 2, 3, 4, 5, 6, 13], np.int32)
+    offs = np.linspace(0.0, 0.9, passes.size).astype(np.float32)
+    vb, nb = pcg.halton_dimension(jnp.asarray(passes), jnp.asarray(primes),
+                                  jnp.asarray(offs))
+    for k in range(passes.size):
+        vs, ns = pcg.halton_dimension(jnp.int32(passes[k]),
+                                      jnp.int32(primes[k]),
+                                      jnp.float32(offs[k]))
+        assert float(vs) == float(vb[k]), (k, float(vs), float(vb[k]))
+        assert int(ns) == int(nb[k])

@@ -53,10 +53,79 @@ def test_make_renderer_picks_sharded():
     assert r.D == len(jax.devices())
 
 
-def test_sharded_interrupt_aborts(cscene):
+def test_sharded_render_pass_equals_single(cscene):
+    """The progressive tier (--iterative/--preview) on the mesh: one
+    whole-frame pass split over the pixel axis must equal the
+    single-device render_pass (same per-(pixel, pass) streams)."""
+    import jax.numpy as jnp
+
+    spp = 4
+    single = WavefrontRenderer(cscene, tile_rays=8192)
+    sharded = ShardedPoolRenderer(cscene, tile_rays=1024)
+    acc_s = jnp.zeros((single.height, single.width, 4), jnp.float32)
+    acc_m = jnp.zeros((single.height, single.width, 4), jnp.float32)
+    for p in range(2):
+        acc_s = single.render_pass(acc_s, p, spp)
+        acc_m = sharded.render_pass(acc_m, p, spp)
+    np.testing.assert_allclose(np.asarray(acc_m), np.asarray(acc_s),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_interrupt_checkpoints_and_resumes(cscene):
+    """Ctrl-C on the default multi-device render is LOSSLESS: the
+    checkpoint (per-device queue-tail ranges + in-flight ids) resumes —
+    on the mesh or on a single device — to the exact full-spp image."""
+    spp = 8
+    ref = WavefrontRenderer(cscene, tile_rays=8192).render_persistent(
+        spp=spp)
     r = ShardedPoolRenderer(cscene, tile_rays=2048)
-    out = r.render_persistent(spp=4, interrupt=lambda: True)
-    assert out == ("aborted",)
-    with pytest.raises(NotImplementedError):
-        r.render_persistent(spp=2, resume={"final_sum": 0, "qpos": 0,
-                                           "pending": []})
+
+    # interrupt partway: fire after a few dispatches
+    n_calls = [0]
+
+    def interrupt():
+        n_calls[0] += 1
+        return n_calls[0] >= 3
+
+    out = r.render_persistent(spp=spp, interrupt=interrupt)
+    assert isinstance(out, tuple) and out[0] == "interrupted"
+    _, final_sum, pending, ranges = out
+    assert len(ranges) >= 1
+    resume = {"final_sum": final_sum, "pending": pending, "ranges": ranges}
+
+    # resume on the mesh
+    img = ShardedPoolRenderer(cscene, tile_rays=2048).render_persistent(
+        spp=spp, resume={k: (v.copy() if hasattr(v, "copy") else v)
+                         for k, v in resume.items()})
+    np.testing.assert_allclose(img, ref, rtol=2e-5, atol=2e-6)
+
+    # the same checkpoint resumes on ONE device too (any device count)
+    img1 = WavefrontRenderer(cscene, tile_rays=8192).render_persistent(
+        spp=spp, resume=resume)
+    np.testing.assert_allclose(img1, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_immediate_interrupt_checkpoint_is_complete(cscene):
+    """An interrupt on the very first dispatch loses nothing: every
+    queue id is either still queued (pending/ranges, no duplicates) or
+    its path already completed into final_sum; resuming yields the exact
+    image."""
+    r = ShardedPoolRenderer(cscene, tile_rays=2048)
+    spp = 4
+    out = r.render_persistent(spp=spp, interrupt=lambda: True)
+    assert out[0] == "interrupted"
+    _, final_sum, pending, ranges = out
+    npix = r.width * r.height
+    ids = list(int(x) for x in pending)
+    for a, b in ranges:
+        ids.extend(range(int(a), int(b)))
+    assert len(ids) == len(set(ids)), "duplicate queue ids would " \
+        "double-count paths"
+    assert set(ids) <= set(range(npix * spp))
+
+    ref = WavefrontRenderer(cscene, tile_rays=8192).render_persistent(
+        spp=spp)
+    img = ShardedPoolRenderer(cscene, tile_rays=2048).render_persistent(
+        spp=spp, resume={"final_sum": final_sum, "pending": pending,
+                         "ranges": ranges})
+    np.testing.assert_allclose(img, ref, rtol=2e-5, atol=2e-6)
