@@ -23,6 +23,7 @@ Per-(pixel, pass) semantics match the reference exactly:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -840,6 +841,90 @@ class WavefrontRenderer:
                 multi, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
         return self._multi_cache[key]
 
+    def _prime_dev(self, B: int):
+        """Initial pool fill generated ON DEVICE from the queue head (same
+        math as _flush_pack_refill's fresh-ray block). The host-id prime
+        (take(B)) ships ~16 MB of ray data host->device — measured ~1.2 s
+        of device idle at render start over the tunneled chip; this is
+        one dispatch with zero H2D payload."""
+        key = ("prime_dev", B)
+        if key not in self._multi_cache:
+            sched = self._sched_dev
+            npix = self.width * self.height
+            kind = self.kind
+            cam_fn = self.cam_fn
+
+            def prime(qpix, qpass, take_n, spp):
+                i = jnp.arange(B, dtype=i32)
+                px_i = qpix + i
+                fpass = qpass + px_i // npix
+                px = px_i % npix
+                rows = sched[px]
+                fxs, fys, flane = rows[:, 0], rows[:, 1], rows[:, 2]
+                fs = smp.init_sampler(kind, fpass,
+                                      jnp.broadcast_to(spp, (B,)),
+                                      flane.astype(u32))
+                fo, fd, fs = jax.vmap(cam_fn)(fxs, fys, fs)
+                falive = i < take_n
+                return fo, fd, fs, flane, fpass, falive
+
+            self._multi_cache[key] = jax.jit(prime)
+        return self._multi_cache[key]
+
+    # pools at or below this width drain in ONE device-side while_loop
+    # dispatch instead of a host loop (each host drain iteration pays a
+    # blocking live-count fetch — ~29 ms RTT over the tunneled chip, ~1 s
+    # per render across the whole drain tail). 262144 catches the first
+    # quarter-shrink of a 1M pool; the dispatch stays bounded (~20 live
+    # while iterations at ~20 ms) well under the TPU watchdog
+    DRAIN_DEV_MAX = int(os.environ.get("CRAYTPU_DRAIN_DEV_MAX", "262144"))
+
+    def _drain_all(self):
+        """Run the pool to extinction in ONE dispatch: lax.while_loop of
+        the dynamic-RR bounce step until every lane is dead. Used for the
+        end-of-queue drain tail once the pool has shrunk (bounded work:
+        <= DRAIN_DEV_MAX lanes x remaining bounce cap)."""
+        key = ("drain_all",)
+        if key not in self._multi_cache:
+            step_dyn = self._make_step("dynamic", checks=True,
+                                       nee=self.nee)
+            max_depth = self.max_depth
+            nee = self.nee
+
+            def drain(params, geom, shade, mat_graph, o, d, weight, s,
+                      alive, pdepth, delta):
+                params = self.cscene.reg.make_ctx(params)  # hoisted
+
+                def cond(carry):
+                    return jnp.any(carry[5])
+
+                def body(carry):
+                    o, d, w, dl, s, alive, pd = carry
+                    if nee:
+                        depth = pd & i32(0xFFFF)
+                        prev = (pd >> 16) > 0
+                        alive = alive & (depth < max_depth)
+                        o, d, w, dl, s, alive, prev = step_dyn(
+                            params, geom, shade, mat_graph, o, d, w, dl,
+                            s, alive, depth >= 4, prev)
+                        return (o, d, w, dl, s, alive,
+                                (depth + 1) | (prev.astype(i32) << 16))
+                    alive = alive & (pd < max_depth)
+                    o, d, w, dl, s, alive = step_dyn(
+                        params, geom, shade, mat_graph, o, d, w, dl, s,
+                        alive, pd >= 4)
+                    return (o, d, w, dl, s, alive, pd + 1)
+
+                (o, d, weight, delta, s, alive, pdepth) = \
+                    jax.lax.while_loop(
+                        cond, body,
+                        (o, d, weight, delta, s, alive, pdepth))
+                return o, d, weight, s, alive, pdepth, delta
+
+            self._multi_cache[key] = self._jit(
+                drain, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
+        return self._multi_cache[key]
+
     def _morton_key(self):
         """Spatial+octant sort key (dead lanes -> max key, so a stable
         argsort is simultaneously the alive-first pack)."""
@@ -1146,8 +1231,15 @@ class WavefrontRenderer:
                 dt = _time.perf_counter() - t0
                 stats[phase][1] += dt
                 hist[key + ("s",)] = hist.get(key + ("s",), 0.0) + dt
-        xs_f, ys_f, _, T, _, _ = self._pixel_schedule
-        xs_f, ys_f = np.asarray(xs_f[:npix]), np.asarray(ys_f[:npix])
+        # host pixel schedule, fetched lazily: only the host-id refill
+        # path (pending-id resumes) reads it, and the D->H copy costs
+        # ~0.4 s over the tunneled chip — never pay it on the fast path
+        def sched_host():
+            if getattr(self, "_sched_host", None) is None:
+                xs_f, ys_f, _, _, _, _ = self._pixel_schedule
+                self._sched_host = (np.asarray(xs_f[:npix]),
+                                    np.asarray(ys_f[:npix]))
+            return self._sched_host
         B = min(self.tile_rays, _next_pow2(npix))
         # refill quantum: swept at 1080p (r3): B//4 -> 810k paths/s,
         # B//8 -> 930k, B//16 -> 993k, B//32 -> 889k. Finer quanta refill
@@ -1159,8 +1251,12 @@ class WavefrontRenderer:
         # hoist the shading context (quad-row texture tables) out of the
         # per-bounce dispatch: params are constant for the whole render
         # and make_ctx is idempotent inside the step, so building it once
-        # here saves the ~2 ms/dispatch table rebuild
-        params_ctx = jax.jit(cs.reg.make_ctx)(cs.params)
+        # here saves the ~2 ms/dispatch table rebuild. The jit WRAPPER is
+        # cached too: a fresh jax.jit(...) per render re-traced and
+        # re-compiled make_ctx every call (~0.5 s inside the timed render)
+        if ("ctx_jit",) not in self._multi_cache:
+            self._multi_cache[("ctx_jit",)] = jax.jit(cs.reg.make_ctx)
+        params_ctx = self._multi_cache[("ctx_jit",)](cs.params)
         import os
         k_env = os.environ.get("CRAYTPU_POOL_K")
         k = int(k_env) if k_env else 1
@@ -1184,6 +1280,7 @@ class WavefrontRenderer:
             ids_pad = np.concatenate(
                 [ids, np.zeros(n - took, np.int64)]) if took < n else ids
             px = ids_pad % npix
+            xs_f, ys_f = sched_host()
             xs = jnp.asarray(xs_f[px])
             ys = jnp.asarray(ys_f[px])
             passes = jnp.asarray((ids_pad // npix).astype(np.int32))
@@ -1196,8 +1293,19 @@ class WavefrontRenderer:
         def queue_left():
             return queue.left()
 
-        # prime the pool
-        o, d, s, lane, lpass, alive, took = take(B)
+        # prime the pool — device-generated from the queue head when the
+        # head is a contiguous range (always, except pending-id resumes)
+        if not queue.pending and queue.ranges:
+            lo, hi = queue.ranges[0]
+            took = min(B, hi - lo)
+            o, d, s, lane, lpass, alive = self._prime_dev(B)(
+                np.int32(lo % npix), np.int32(lo // npix),
+                np.int32(took), i32(spp))
+            queue.ranges[0][0] += took
+            if queue.ranges[0][0] >= hi:
+                queue.ranges.pop(0)
+        else:
+            o, d, s, lane, lpass, alive, took = take(B)
         weight = jnp.ones((B, 4), f32)
         pdepth = jnp.zeros(B, i32)
         delta = jnp.zeros((B, 4), f32)
@@ -1317,6 +1425,19 @@ class WavefrontRenderer:
                         pdepth, delta)
                     if sync_on:
                         _acct("shrink", ("shrink", Bn), final)
+                if alive.shape[0] <= self.DRAIN_DEV_MAX \
+                        and interrupt is None:
+                    # finish the tail in ONE device-side while_loop — the
+                    # host drain pays a blocking count RTT per iteration
+                    o, d, weight, s, alive, pdepth, delta = \
+                        self._drain_all()(
+                            params_ctx, cs.geom, cs.shade, cs.mat_graph,
+                            o, d, weight, s, alive, pdepth, delta)
+                    if stats_on:
+                        stats["step"][0] += 1
+                        hist[("drain_all", alive.shape[0])] = \
+                            hist.get(("drain_all", alive.shape[0]), 0) + 1
+                    break
         final = self._final_flush()(final, lane, delta, alive)
         if stats_on:
             import sys as _sys

@@ -53,6 +53,14 @@ FLT_MAX = 3.4028235e38
 # amortizes per-visit control best before block-union culling decay
 # sets in; end-to-end it is ~1% ahead of 512.
 RAY_BLOCK = int(os.environ.get("CRAYTPU_RAY_BLOCK", "768"))
+# M-split: gate each of MSPLIT lane column-groups of a ray block on its
+# OWN slab mask per tri-block visit. Lanes are Morton-sorted, so the
+# groups are spatially tighter than their union: a tri-block passing
+# only one group's slab test costs 1/MSPLIT of the matmul output tiles
+# (time ~ output tiles — the K=48 finding). Control (worklists, DMA,
+# instance scan) stays at full RAY_BLOCK granularity. Each group must
+# be a multiple of the 128-lane MXU tile: RAY_BLOCK=768 allows 1/2/3/6.
+MSPLIT = int(os.environ.get("CRAYTPU_FLASH_MSPLIT", "1"))
 from craytpu.ops.dense_isect import TRI_BLOCK  # noqa: E402
 SB_BLOCKS = int(os.environ.get("CRAYTPU_SB_BLOCKS", "8"))
 PHI_DIM = 16                # 10 used: [d, o, d x o, 1]; padded for MXU
@@ -362,12 +370,13 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                     bbv = [bb_ref[blk, c] for c in range(6)]
                     blk_ok = _slab_rows(bbv, oi, di, bt)
 
-                    if DEBUG:
-                        @pl.when(jnp.any(blk_ok))
-                        def _():
-                            dbg[0] = dbg[0] + 1
+                    HM = RAY_BLOCK // MSPLIT
+                    lane0_c = lane0 if MSPLIT == 1 else \
+                        jax.lax.broadcasted_iota(i32, (TRI_BLOCK, HM), 0)
 
-                    def do_blk(carry):
+                    def visit_cols(c0, carry):
+                        """MXU search + winner epilogue on lane columns
+                        [c0, c0+HM); carries are HM-wide slices."""
                         bt, bp, bi = carry
                         if ABLATE == "novisit":
                             return bt, bp, bi
@@ -375,7 +384,9 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                             Wb = W_hbm[blk]
                         else:
                             Wb = wbuf[slot, bl]
-                        q3 = _search_dot(Wb, phiS)
+                        phiS_c = phiS if MSPLIT == 1 \
+                            else phiS[:, c0:c0 + HM]
+                        q3 = _search_dot(Wb, phiS_c)
                         if ABLATE == "noepilogue":
                             # consume the matmul with a single reduce
                             bt = jnp.minimum(bt, jnp.min(
@@ -451,7 +462,7 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                         def extract(carry):
                             bt, bp, bi = carry
                             j = jnp.min(
-                                jnp.where(t == tmin, lane0, 1 << 30),
+                                jnp.where(t == tmin, lane0_c, 1 << 30),
                                 axis=0, keepdims=True)
                             bt = jnp.where(upd, tmin, bt)
                             bp = jnp.where(
@@ -463,8 +474,54 @@ def _kernel(plan_ref, sphplan_ref, inst_ref, bb_ref, sbbb_ref,
                         return jax.lax.cond(jnp.any(upd), extract,
                                             lambda c: c, (bt, bp, bi))
 
-                    return jax.lax.cond(jnp.any(blk_ok), do_blk,
-                                        lambda c: c, (bt, bp, bi))
+                    if MSPLIT == 1:
+                        if DEBUG:
+                            @pl.when(jnp.any(blk_ok))
+                            def _():
+                                dbg[0] = dbg[0] + 1
+                        return jax.lax.cond(
+                            jnp.any(blk_ok),
+                            functools.partial(visit_cols, 0),
+                            lambda c: c, (bt, bp, bi))
+
+                    # M-split: each HM-lane column group gates on ITS
+                    # slab mask; only passing groups pay matmul tiles
+                    for sidx in range(MSPLIT):
+                        c0 = sidx * HM
+                        ok_s = blk_ok[:, c0:c0 + HM]
+                        if DEBUG:
+                            # dbg[0] counts GROUP visits: tiles per
+                            # group visit = full visit tiles / MSPLIT
+                            @pl.when(jnp.any(ok_s))
+                            def _():
+                                dbg[0] = dbg[0] + 1
+
+                        def run(c, c0=c0):
+                            btf, bpf, bif = c
+                            sub = visit_cols(
+                                c0, (btf[:, c0:c0 + HM],
+                                     bpf[:, c0:c0 + HM],
+                                     bif[:, c0:c0 + HM]))
+
+                            def put(full, s):
+                                # static-slice concat write-back (Pallas
+                                # TPU has no dynamic_update_slice; the
+                                # group offsets are static anyway)
+                                parts = []
+                                if c0:
+                                    parts.append(full[:, :c0])
+                                parts.append(s)
+                                if c0 + HM < RAY_BLOCK:
+                                    parts.append(full[:, c0 + HM:])
+                                return parts[0] if len(parts) == 1 \
+                                    else jnp.concatenate(parts, axis=1)
+
+                            return (put(btf, sub[0]), put(bpf, sub[1]),
+                                    put(bif, sub[2]))
+
+                        bt, bp, bi = jax.lax.cond(
+                            jnp.any(ok_s), run, lambda c: c, (bt, bp, bi))
+                    return bt, bp, bi
 
                 return jax.lax.fori_loop(0, bc, blk_body, carry)
 

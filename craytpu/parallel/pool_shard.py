@@ -274,6 +274,60 @@ class ShardedPoolRenderer(WavefrontRenderer):
                 sm, donate_argnums=tuple(range(10)))
         return self._multi_cache[key]
 
+    def _drain_all_sh(self):
+        """End-of-queue drain in ONE dispatch: each device runs its own
+        lax.while_loop of the bounce step until its pool is extinct
+        (trip counts may differ per device — the body is collective-free
+        so divergence is fine). Replaces a host loop that paid a blocking
+        live-count fetch per iteration."""
+        key = ("drain_all_sh",)
+        if key not in self._multi_cache:
+            step_dyn = self._make_step("dynamic", checks=True,
+                                       nee=self.nee)
+            max_depth = self.max_depth
+            nee = self.nee
+            pool = P(POOL_AXIS)
+            rep = P()
+
+            def drain_local(params, geom, shade, mat_graph, o, d, weight,
+                            s, alive, pdepth, delta):
+                params = self.cscene.reg.make_ctx(params)
+
+                def cond(carry):
+                    return jnp.any(carry[5])
+
+                def body(carry):
+                    o, d, w, dl, s, alive, pd = carry
+                    if nee:
+                        depth = pd & jnp.int32(0xFFFF)
+                        prev = (pd >> 16) > 0
+                        alive = alive & (depth < max_depth)
+                        o, d, w, dl, s, alive, prev = step_dyn(
+                            params, geom, shade, mat_graph, o, d, w, dl,
+                            s, alive, depth >= 4, prev)
+                        return (o, d, w, dl, s, alive,
+                                (depth + 1) | (prev.astype(i32) << 16))
+                    alive = alive & (pd < max_depth)
+                    o, d, w, dl, s, alive = step_dyn(
+                        params, geom, shade, mat_graph, o, d, w, dl, s,
+                        alive, pd >= 4)
+                    return (o, d, w, dl, s, alive, pd + 1)
+
+                (o, d, weight, delta, s, alive, pdepth) = \
+                    jax.lax.while_loop(
+                        cond, body,
+                        (o, d, weight, delta, s, alive, pdepth))
+                return o, d, weight, s, alive, pdepth, delta
+
+            sm = self._smap(
+                drain_local,
+                in_specs=(rep, rep, rep, rep, pool, pool, pool, pool,
+                          pool, pool, pool),
+                out_specs=(pool,) * 7)
+            self._multi_cache[key] = self._jit(
+                sm, donate_argnums=(4, 5, 6, 7, 8, 9, 10))
+        return self._multi_cache[key]
+
     def _pack_shrink_sh(self, Bn: int):
         key = ("shrink_sh", Bn)
         if key not in self._multi_cache:
@@ -577,6 +631,13 @@ class ShardedPoolRenderer(WavefrontRenderer):
                      delta) = self._pack_shrink_sh(Bn)(
                         final, o, d, weight, s, alive, lane, lpass,
                         pdepth, delta)
+                if alive.shape[0] // D <= self.DRAIN_DEV_MAX \
+                        and interrupt is None:
+                    o, d, weight, s, alive, pdepth, delta = \
+                        self._drain_all_sh()(
+                            cs.params, cs.geom, cs.shade, cs.mat_graph,
+                            o, d, weight, s, alive, pdepth, delta)
+                    break
         return self._final_flush_sh()(final, lane, delta, alive)
 
     # -- the product entry points ------------------------------------------
