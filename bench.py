@@ -38,6 +38,10 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 # measured here: 4 passes -> 1.13M, 8 -> 1.31M, 16 -> 1.38M paths/s;
 # 16 is still a conservative stand-in for the 1000-spp asymptote).
 PASSES = int(os.environ.get("BENCH_PASSES", "16"))
+# >=3 timed runs so the margin over the bar is distinguishable from
+# run-to-run noise (VERDICT r3: the 2.6% margin was within the ~1.8%
+# observed spread). Reported value = MEDIAN; min/max recorded.
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 GRAD = os.environ.get("BENCH_GRAD", "1") != "0"
 GOLDEN = os.environ.get("BENCH_GOLDEN", "1") != "0"
 MESH = os.environ.get("BENCH_MESH", "1") != "0"
@@ -125,15 +129,18 @@ def main():
     # short run, so it happens after the clock stops (fetch=False keeps
     # the frame on device inside the timed region).
     r.render_persistent(spp=WARMUP)
-    t0 = time.perf_counter()
-    accum = r.render_persistent(spp=PASSES, fetch=False)
     import jax as _jax
-    _jax.block_until_ready(accum)
-    dt = time.perf_counter() - t0
-    accum = _jax.device_get(accum)
-
     paths = r.width * r.height * PASSES
-    pps = paths / dt
+    rates = []
+    accum = None
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        accum = r.render_persistent(spp=PASSES, fetch=False)
+        _jax.block_until_ready(accum)
+        rates.append(paths / (time.perf_counter() - t0))
+    accum = _jax.device_get(accum)
+    rates.sort()
+    pps = rates[len(rates) // 2]            # median of >=3 runs
     out_dir = os.path.join(REPO, "output")
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "bench_frame.npy"), np.asarray(accum))
@@ -176,9 +183,33 @@ def main():
         "value": round(pps, 1),
         "unit": "paths/s",
         "vs_baseline": round(pps / BASELINE_PATHS_PER_S, 3),
+        "runs": len(rates),
+        "value_min": round(rates[0], 1),
+        "value_max": round(rates[-1], 1),
         "c_ref_this_host_paths_per_sec": C_REF_THIS_HOST,
         "vs_c_ref_this_host": round(pps / C_REF_THIS_HOST, 3),
     }
+
+    # ---- perf regression gate: compare against the PREVIOUS round's
+    # driver capture so a regression self-reports loudly instead of
+    # hiding in a table (VERDICT r3 #7). Warns below 0.9x; the golden
+    # gate below is what hard-fails the round. ----
+    import glob as _glob
+    import re as _re
+    prev = sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+                  key=lambda p: int(_re.search(r"r(\d+)", p).group(1)))
+    if prev:
+        try:
+            with open(prev[-1]) as f:
+                prev_pps = float(json.load(f)["value"])
+            out["vs_prev_round"] = round(pps / prev_pps, 3)
+            if pps < 0.9 * prev_pps:
+                print(f"PERF REGRESSION: {pps:,.0f} paths/s is "
+                      f"{pps / prev_pps:.2f}x the previous round's "
+                      f"{prev_pps:,.0f} ({os.path.basename(prev[-1])})",
+                      file=sys.stderr)
+        except (KeyError, ValueError) as e:  # pragma: no cover
+            print(f"vs_prev_round unavailable: {e}", file=sys.stderr)
     if fwd_bwd_pps is not None:
         out["fwd_bwd_paths_per_sec"] = round(fwd_bwd_pps, 1)
 
@@ -198,14 +229,18 @@ def main():
 
     # ---- golden gate on THIS backend: a TPU-only shading/kernel
     # regression must not produce a green round (VERDICT r2 #4). Renders
-    # the full corpus at 80x50/4spp and compares against the C-oracle
-    # goldens with the pytest thresholds. ----
+    # the full corpus (9 reference scenes + 2 stress scenes) at
+    # 160x100/16spp — 16x the subpixel-sample count of the pytest gate,
+    # so regressions invisible at 80x50/4spp (e.g. bilinear edge cases
+    # at larger texture footprints) fail here (VERDICT r3 #6). pytest
+    # keeps the fast 80x50/4 gate. ----
     golden_fail = []
     if GOLDEN:
         from craytpu.utils import golden as gold
         for name in gold.SCENES:
             try:
-                ok, within, mean_abs = gold.render_and_compare(name)
+                ok, within, mean_abs = gold.render_and_compare(
+                    name, w=160, h=100, spp=16)
             except Exception as e:          # noqa: BLE001 — report & fail
                 ok, within, mean_abs = False, 0.0, float("nan")
                 print(f"golden {name}: EXCEPTION {e}", file=sys.stderr)
@@ -220,14 +255,17 @@ def main():
         if golden_fail:
             out["golden_failed_scenes"] = golden_fail
 
-    # ---- mesh-sharding overhead on the virtual 8-device CPU mesh.
-    # This host is cgroup-limited to ONE core (nproc=1), so true parallel
-    # scaling is unmeasurable locally; what IS measurable is the overhead
-    # the sharded path adds: 8 device pools timesharing one core should
-    # take ~the single-pool wall time if the sharding machinery (per-pool
-    # sort/refill + the final cross-device reduce) is cheap. Efficiency
-    # here = T_single / T_sharded8 (1.0 = zero overhead); on real multi-
-    # chip hardware per-chip efficiency is bounded by this number. ----
+    # ---- mesh-sharding OVERHEAD BOUND on the virtual 8-device CPU
+    # mesh. This is NOT a scaling-efficiency measurement: the host is
+    # cgroup-limited to ONE core (nproc=1), so 8 device pools timeshare
+    # it and true parallel scaling is unmeasurable locally. What IS
+    # measurable is the overhead the sharded path adds: ratio =
+    # T_single / T_sharded8 (1.0 = the sharding machinery — per-pool
+    # sort/refill + the final cross-device reduce — is free; >1 happens
+    # when 8 smaller pools schedule better on one core). On real
+    # multi-chip hardware, per-chip efficiency is bounded ABOVE by this
+    # number; the >=85% scaling target (BASELINE.md) attaches to a real
+    # multi-chip run, which this environment cannot provide. ----
     if MESH:
         import subprocess
         times = {}
@@ -248,7 +286,7 @@ def main():
                       file=sys.stderr)
                 break
         if len(times) == 2:
-            out["mesh_overhead_efficiency_virtual8"] = round(
+            out["mesh_overhead_bound_virtual8_1core"] = round(
                 times[1] / times[8], 3)
             print(f"mesh overhead: T1={times[1]:.2f}s "
                   f"T8={times[8]:.2f}s (1 core, 8 virtual devices)",

@@ -41,6 +41,14 @@ CONFIGS = [
     ("v3_lean_natrays", {"CRAYTPU_FLASH_V3": "1",
                          "CRAYTPU_FLASH_EPI": "lean",
                          "CRAYTPU_FLASH_NATRAYS": "1"}),
+    # occupancy-weighted M-split: each 1/N lane column group of a ray
+    # block gates on its OWN slab mask (kernel time ~ output tiles, so a
+    # tri-block passing only one group costs 1/N of the tiles)
+    ("msplit2", {"CRAYTPU_FLASH_MSPLIT": "2"}),
+    ("msplit3", {"CRAYTPU_FLASH_MSPLIT": "3"}),
+    ("msplit6", {"CRAYTPU_FLASH_MSPLIT": "6"}),
+    ("msplit2_rb1024", {"CRAYTPU_FLASH_MSPLIT": "2",
+                        "CRAYTPU_RAY_BLOCK": "1024"}),
     # shading policy: unchunked (new default) vs 64k chunks (old default)
     ("shade_chunk64k", {"CRAYTPU_SHADE_CHUNK": "65536"}),
     # pool bounce fusion at full occupancy
