@@ -20,8 +20,9 @@ V = ∂u_e/∂θ the screen velocity of the edge point, n̂ the screen normal
 of the curve, L∓ the radiance limits on the two sides (the product is
 invariant to the orientation of n̂).
 
-Estimator (primary visibility; later-bounce silhouettes remain detached —
-documented limitation): silhouette edges are classified per camera
+Estimator (primary visibility; `make_edge_grad2_fn` below extends one
+bounce deeper — silhouettes past depth 2 remain detached, a documented
+limitation): silhouette edges are classified per camera
 (boundary edges, or sign(n₁·v) ≠ sign(n₂·v)), stratified points on each
 edge are projected to the screen, both sides are shaded with offset
 camera rays (detached, common random numbers), and the whole term enters
@@ -266,3 +267,204 @@ def make_edge_grad_fn(cscene, scene, renderer, depth: int,
 
     boundary.defvjp(fwd, bwd)
     return boundary
+
+
+def make_edge_grad2_fn(cscene, scene, renderer, depth: int,
+                       samples_per_edge: int = 8, delta: float = 1e-2):
+    """boundary2(params, tri_packed, pass_idx, spp) -> (H*W, 4).
+
+    ONE-BOUNCE-DEEP silhouette boundary term: the derivative the primary
+    estimator above misses when geometry moves a silhouette seen FROM a
+    shading point rather than from the camera (e.g. an out-of-frame
+    occluder whose edge sweeps across the hemisphere a diffuse receiver
+    integrates over).
+
+    Math: the secondary contribution of a diffuse primary vertex P is the
+    hemisphere integral I2(P) = (rho/pi) * int cos(w,n) L(w) dw. Under
+    geometry motion, L jumps across the DIRECTION-SPHERE silhouette curve
+    w_e(t) = normalize(X_e(t) - P) (X_e on a mesh edge that is a
+    silhouette w.r.t. P) and Reynolds gives
+
+      dI2/dth = (rho/pi) oint cos(w_e,n) [L- - L+](w_e)
+                (V . n_hat) ||dw_e/dt|| dt,
+
+    with n_hat the in-sphere normal of the curve (normalize(cross(w,
+    dw/dt))) and V = dw_e/dth. The same custom-VJP surrogate as the
+    primary estimator carries it: everything is detached except the
+    single differentiable factor w . stop_grad(n_hat), so the cotangent
+    picks up exactly (V . n_hat).
+
+    SCOPE (documented): diffuse primary vertices only (the same class
+    NEE treats explicitly — specular chains stay detached); the
+    receiver's own motion is detached (only the edge mesh's velocity
+    enters V — exact when receiver and occluder are different meshes);
+    cost is O(npix * E * S) side evaluations per pass, built for
+    validation-scale scenes (tests/test_edge_secondary.py FD-checks it
+    at depth 2), not the production default. Silhouettes at depth >= 3
+    remain detached. No reference counterpart (c-ray does not
+    differentiate).
+    """
+    from craytpu.ops import shading
+    from craytpu.ops import vecmath as vm
+
+    cam = cscene.camera
+    W, H = cam.width, cam.height
+    geom = cscene.geom
+    edges = build_edges(scene)
+    E = edges["tri_a"].shape[0]
+    color_irs = cscene.dense_meta.get("diffuse_color_ir") or {}
+    if E == 0 or not color_irs:
+        def zero(params, tri_packed, pass_idx, spp):
+            return jnp.zeros((H * W, 4), f32)
+        return zero
+
+    tri_a = jnp.asarray(edges["tri_a"])
+    slot_a = jnp.asarray(edges["slot_a"])
+    slot_b = jnp.asarray(edges["slot_b"])
+    tri_b = jnp.asarray(edges["tri_b"])
+    einst = jnp.asarray(edges["inst"])
+
+    kind = renderer.kind
+    cam_fn = renderer.cam_fn
+    isect = renderer.isect
+    trace_rays = renderer.trace_rays_fn(max(depth - 1, 1))
+    albedo_fns = {gi: shading.compile_color(ir, cscene.reg)
+                  for gi, ir in color_irs.items()}
+    mat_graph = cscene.mat_graph
+
+    S = samples_per_edge
+    ts = jnp.asarray((np.arange(S) + 0.5) / S, np.float32)
+    xs_r = jnp.asarray(np.tile(np.arange(W, dtype=np.int32), H))
+    ys_r = jnp.asarray(np.repeat(np.arange(H, dtype=np.int32), W))
+    sg = jax.lax.stop_gradient
+
+    def _world_pts(tri_packed):
+        rowA = tri_packed[tri_a]                       # (E, 12)
+        xa = _slot_point(rowA, slot_a)
+        xb = _slot_point(rowA, slot_b)
+        Ai = geom.inst_A[einst]                        # (E, 3, 4)
+        Xa = jnp.einsum("eij,ej->ei", Ai[:, :, :3], xa) + Ai[:, :, 3]
+        Xb = jnp.einsum("eij,ej->ei", Ai[:, :, :3], xb) + Ai[:, :, 3]
+        return Xa, Xb
+
+    def _backward_scalar2(tri_packed, params, pass_idx, spp, gbar):
+        B = H * W
+        g_sg = geom._replace(tri_packed=sg(tri_packed))
+
+        # primary vertex: SAME sampler stream as the rendered pass, so
+        # the boundary term attaches to the pass's actual hit points
+        pix = (ys_r.astype(jnp.uint32) * jnp.uint32(W)
+               + xs_r.astype(jnp.uint32))
+        s0 = smp.init_sampler(kind, jnp.broadcast_to(pass_idx, (B,)),
+                              jnp.broadcast_to(spp, (B,)), pix)
+        o, d, _ = jax.vmap(cam_fn)(xs_r, ys_r, s0)
+        is_hit, P, n_w, uv, mat_id, hit_t = isect(
+            g_sg, sg(o), sg(d), jnp.ones(B, bool))
+        P = sg(P)
+        n_w = sg(n_w)
+        gid = mat_graph[mat_id]
+        diffuse = is_hit
+        dmask = jnp.zeros(B, bool)
+        for gi in albedo_fns:
+            dmask = dmask | (gid == gi)
+        diffuse = diffuse & dmask
+
+        ih = is_hit[..., None]
+        rec = shading.HitRec(
+            incident=sg(d), normal=jnp.where(ih, n_w,
+                                             jnp.array([0., 0., 1.], f32)),
+            uv=jnp.where(ih, sg(uv), f32(0.0)),
+            hit_point=jnp.where(ih, P, f32(0.0)),
+            distance=jnp.where(is_hit, sg(hit_t), f32(1.0)),
+            emission=jnp.zeros((B, 4), f32), ior=jnp.ones(B, f32),
+            mat_id=mat_id, active=diffuse)
+        albedo = jnp.zeros((B, 4), f32)
+        for gi, fn in albedo_fns.items():
+            m = (gid == gi) & diffuse
+            albedo = jnp.where(m[:, None], fn(sg(params), rec), albedo)
+        albedo = sg(albedo)
+
+        # edge sample points (differentiable through tri_packed)
+        Xa, Xb = _world_pts(tri_packed)
+        X = (Xa[:, None, :] * (1 - ts)[None, :, None]
+             + Xb[:, None, :] * ts[None, :, None])          # (E, S, 3)
+
+        # directions from every primary vertex to every edge sample
+        V = X[None, :, :, :] - P[:, None, None, :]          # (B, E, S, 3)
+        r = jnp.linalg.norm(sg(V), axis=-1)
+        r_s = jnp.maximum(r, f32(1e-6))[..., None]
+        omega = V / r_s                                      # DIFFERENTIABLE
+        om_d = sg(omega)
+
+        # silhouette classification per (P, edge) — detached. Face
+        # normals in world space: n_world = Ainv^T n_mesh (same transform
+        # as _sil_mask above).
+        Ainv = geom.inst_Ainv[einst]
+        tp_d = sg(tri_packed)
+        na = jnp.einsum("eji,ej->ei", Ainv[:, :, :3], tp_d[tri_a][:, 9:12])
+        nb = jnp.einsum("eji,ej->ei", Ainv[:, :, :3],
+                        tp_d[jnp.maximum(tri_b, 0)][:, 9:12])
+        Vd = sg(V)
+        da = jnp.sum(na[None, :, None, :] * Vd, axis=-1)
+        db = jnp.sum(nb[None, :, None, :] * Vd, axis=-1)
+        sil = (tri_b < 0)[None, :, None] | (da * db < 0)     # (B, E, S)
+
+        # curve tangent on the direction sphere: d omega/dt =
+        # (I - ww^T) dX/dt / r  (detached)
+        dX = sg(Xb - Xa)[None, :, None, :]                   # (1, E, 1, 3)
+        tang = (dX - om_d * jnp.sum(om_d * dX, axis=-1,
+                                    keepdims=True)) / sg(r_s)
+        speed = jnp.linalg.norm(tang, axis=-1)               # (B, E, S)
+        n_hat = jnp.cross(om_d, tang / jnp.maximum(
+            speed, f32(1e-12))[..., None])                   # in-sphere normal
+
+        # side radiances with common random numbers (detached): rays
+        # from P in w -/+ delta*n_hat, depth-1 budget
+        om_m = vm.vnormalize(om_d - delta * n_hat).reshape(-1, 3)
+        om_p = vm.vnormalize(om_d + delta * n_hat).reshape(-1, 3)
+        N = om_m.shape[0]
+        o2 = jnp.broadcast_to(P[:, None, None, :],
+                              (B, E, S, 3)).reshape(-1, 3)
+        pix2 = jnp.broadcast_to(pix[:, None, None],
+                                (B, E, S)).reshape(-1)
+        d2 = jnp.concatenate([om_m, om_p], axis=0)
+        o22 = jnp.concatenate([o2, o2], axis=0)
+        s_side = smp.init_sampler(
+            kind, jnp.broadcast_to(pass_idx, (2 * N,)),
+            jnp.broadcast_to(spp, (2 * N,)),
+            jnp.concatenate([pix2, pix2]))
+        L = sg(trace_rays(sg(params), o22, d2, s_side))
+        Ldiff = (L[:N] - L[N:]).reshape(B, E, S, 4)          # L- - L+
+
+        # weight: (rho/pi) cos+(w, n) * cotangent at the primary pixel
+        cosw = jnp.sum(om_d * n_w[:, None, None, :], axis=-1)
+        fw = (jnp.maximum(cosw, f32(0.0))[..., None]
+              * albedo[:, None, None, :] * f32(1.0 / np.pi))
+        coup = jnp.sum(Ldiff * fw * gbar[pix.astype(i32)][:, None, None, :],
+                       axis=-1)                              # (B, E, S)
+        valid = (diffuse[:, None, None] & sil & (r > f32(1e-5))
+                 & (cosw > f32(0.0)))
+        un_dot = jnp.sum(omega * n_hat, axis=-1)             # DIFFERENTIABLE
+        h = jnp.sum(jnp.where(valid, coup * speed, f32(0.0))
+                    * un_dot) / f32(S)
+        return h
+
+    @jax.custom_vjp
+    def boundary2(params, tri_packed, pass_idx, spp):
+        return jnp.zeros((H * W, 4), f32)
+
+    def fwd(params, tri_packed, pass_idx, spp):
+        return (jnp.zeros((H * W, 4), f32),
+                (params, tri_packed, pass_idx, spp))
+
+    def bwd(res, gbar):
+        params, tri_packed, pass_idx, spp = res
+        d_tri = jax.grad(
+            lambda tp: _backward_scalar2(tp, params, pass_idx, spp, gbar)
+        )(tri_packed)
+        zero_i = lambda x: np.zeros(jnp.shape(x), jax.dtypes.float0)
+        return (jax.tree.map(jnp.zeros_like, params), d_tri,
+                zero_i(pass_idx), zero_i(spp))
+
+    boundary2.defvjp(fwd, bwd)
+    return boundary2
