@@ -157,7 +157,15 @@ def main():
         xs, ys = xs[:B], ys[:B]
         sched = r.census_schedule(xs, ys, spp=2)
         print(f"bench: compaction schedule {sched}", file=sys.stderr)
-        trace = r.make_trace_fn(remat="segment", compaction=sched)
+        # segment_hits: the remat policy SAVES the named hit records, so
+        # the backward recompute dead-code-eliminates the detached
+        # closest-hit search (~83% of a bounce): 296k -> 476k paths/s
+        # measured. sort=True (per-bounce Morton re-sort) was tried and
+        # LOST here (311k): a 1M-lane argsort+gather per bounce — paid
+        # again in the remat recompute — costs more than the coherence
+        # saves in the scan trace (the pool amortizes its sort into the
+        # refill instead).
+        trace = r.make_trace_fn(remat="segment_hits", compaction=sched)
 
         def loss(params):
             img = trace(params, xs, ys, jnp.int32(0), jnp.int32(PASSES))

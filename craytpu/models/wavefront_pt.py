@@ -306,6 +306,15 @@ class WavefrontRenderer:
             d_t = jax.lax.stop_gradient(d)
             is_hit, p_w, n_w, uv, mat_id, hit_t = isect(geom, o_t, d_t,
                                                         alive)
+            # Name the hit record so a save_only_these_names('isect')
+            # remat policy can SAVE it: the closest-hit search feeds
+            # nothing else, so the backward-pass recompute dead-code-
+            # eliminates the entire traversal kernel (~83% of a bounce's
+            # cost) instead of re-running it. Identity outside remat.
+            from jax.ad_checkpoint import checkpoint_name
+            is_hit, p_w, n_w, uv, mat_id, hit_t = jax.tree.map(
+                lambda x: checkpoint_name(x, "isect"),
+                (is_hit, p_w, n_w, uv, mat_id, hit_t))
             is_hit = is_hit & alive
 
             # miss: final += weight * background, terminate
@@ -477,7 +486,7 @@ class WavefrontRenderer:
     def make_trace_fn(self, depth: int | None = None,
                       diff_geometry: bool = False,
                       remat: bool = False, nee: bool = False,
-                      compaction=None):
+                      compaction=None, sort: bool = False):
         """Pure, jittable, differentiable fixed-depth trace.
 
         Returns trace(params, xs, ys, pass_idx, spp) -> (B, 4) radiance with
@@ -503,6 +512,9 @@ class WavefrontRenderer:
         geom, shade, mat_graph = cs.geom, cs.shade, cs.mat_graph
         bg_fn = self.bg_fn
         empty = self.empty_scene
+        # built OUTSIDE the traced function: _morton_key reads scene
+        # bounds via np.asarray, which must see a concrete array
+        sort_key_fn = self._morton_key() if sort else None
 
         def _trace(params, g, xs, ys, pass_idx, spp):
             B = xs.shape[0]
@@ -543,19 +555,38 @@ class WavefrontRenderer:
                 lane = jnp.arange(B, dtype=i32)
                 delta = jnp.zeros((B, 4), f32)
                 prev = jnp.zeros(B, bool) if nee else None
+                # sort=True: Morton+octant re-sort of the live wavefront
+                # at EVERY bounce (the persistent pool does this at each
+                # refill; sortless there was 8x slower — coherence sets
+                # the traversal kernel's block-visit count). The
+                # permutation is a detached integer computation and the
+                # radiance flush scatters by original lane id, so image
+                # and gradients are bit-identical to the unsorted trace
+                # (asserted in tests/test_trace_compact.py). lane ids
+                # ride the scan carry so the flush survives in-body
+                # permutes.
+                key_fn = sort_key_fn
 
                 def seg_body(carry, k):
+                    o, d, w_, dl, s, al, ln = carry[:7]
+                    pv = carry[7] if nee else None
+                    if sort:
+                        order = jnp.argsort(key_fn(o, d, al))
+                        o, d, w_, dl = (o[order], d[order], w_[order],
+                                        dl[order])
+                        s = jax.tree.map(lambda x: x[order], s)
+                        al, ln = al[order], ln[order]
+                        if nee:
+                            pv = pv[order]
                     if nee:
-                        o, d, w_, dl, s, al, pv = carry
                         o, d, w_, dl, s, al, pv = step_dyn(
                             params, g, shade, mat_graph, o, d, w_, dl,
                             s, al, k >= 4, pv)
-                        return (o, d, w_, dl, s, al, pv), None
-                    o, d, w_, dl, s, al = carry
+                        return (o, d, w_, dl, s, al, ln, pv), None
                     o, d, w_, dl, s, al = step_dyn(
                         params, g, shade, mat_graph, o, d, w_, dl,
                         s, al, k >= 4)
-                    return (o, d, w_, dl, s, al), None
+                    return (o, d, w_, dl, s, al, ln), None
 
                 body_fn = (jax.checkpoint(seg_body) if remat is True
                            else seg_body)
@@ -571,10 +602,25 @@ class WavefrontRenderer:
                         delta = jnp.zeros((w, 4), f32)
                         if nee:
                             prev = prev[order]
-                    init = ((o, d, weight, delta, s, alive, prev) if nee
-                            else (o, d, weight, delta, s, alive))
+                    init = (o, d, weight, delta, s, alive, lane) + (
+                        (prev,) if nee else ())
                     ks = jnp.arange(ds, de, dtype=i32)
-                    if remat == "segment":
+                    if remat == "segment_hits":
+                        # segment remat + SAVE the named hit records: the
+                        # backward recompute then regenerates only the
+                        # shading chain — the detached closest-hit search
+                        # (~83% of a bounce) is dead code in the rematted
+                        # jaxpr and never re-runs. Memory = hit records
+                        # per bounce at the segment's compacted width
+                        # (~45 B/lane/bounce; ~0.4 GB at 1080p/50 bounces
+                        # under the census schedule) vs a 2x-forward
+                        # recompute saved (measured in BENCH fwd_bwd).
+                        pol = jax.checkpoint_policies.save_only_these_names(
+                            "isect")
+                        carry, _ = jax.checkpoint(
+                            lambda ini, _ks=ks: jax.lax.scan(
+                                seg_body, ini, _ks), policy=pol)(init)
+                    elif remat == "segment":
                         # one recompute per SEGMENT in the backward pass
                         # (k x cheaper than per-bounce remat; peak memory
                         # = one segment's residuals at this width)
@@ -583,10 +629,9 @@ class WavefrontRenderer:
                                 seg_body, ini, _ks))(init)
                     else:
                         carry, _ = jax.lax.scan(body_fn, init, ks)
+                    o, d, weight, delta, s, alive, lane = carry[:7]
                     if nee:
-                        o, d, weight, delta, s, alive, prev = carry
-                    else:
-                        o, d, weight, delta, s, alive = carry
+                        prev = carry[7]
                 return final.at[lane].add(delta)
 
             if nee:
@@ -610,8 +655,16 @@ class WavefrontRenderer:
             if remat:
                 # rematerialize each bounce in the backward pass: the
                 # residuals of a deep scan (hit records, shading temps per
-                # bounce) would otherwise exhaust HBM at 1080p batch sizes
-                body = jax.checkpoint(body)
+                # bounce) would otherwise exhaust HBM at 1080p batch sizes.
+                # "segment_hits" keeps the named hit records resident so
+                # the recompute skips the search (see the compaction path).
+                if remat == "segment_hits":
+                    body = jax.checkpoint(
+                        body,
+                        policy=jax.checkpoint_policies
+                        .save_only_these_names("isect"))
+                else:
+                    body = jax.checkpoint(body)
 
             carry, _ = jax.lax.scan(body, init,
                                     jnp.arange(depth, dtype=i32))

@@ -66,3 +66,34 @@ def test_compacted_trace_matches_plain_forward_and_grad():
                                 jax.tree.map(lambda *_: 0, g_a))):
         np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                    rtol=2e-4, atol=1e-7)
+
+
+def test_sorted_segment_hits_trace_matches_plain():
+    """remat='segment_hits' (hit records saved, search never recomputed
+    in the backward) + sort=True (detached per-bounce Morton re-sort):
+    image bit-identical to the plain compacted trace; parameter grads
+    equal up to float reassociation (the per-lane cotangents are
+    identical — only the cross-lane reduction ORDER changes with the
+    permutation)."""
+    cs, r, xs, ys = _setup()
+    sched = r.census_schedule(xs, ys, spp=3, depth=DEPTH, min_width=64)
+    base = jax.jit(r.make_trace_fn(depth=DEPTH, remat="segment",
+                                   compaction=sched))
+    fast = jax.jit(r.make_trace_fn(depth=DEPTH, remat="segment_hits",
+                                   compaction=sched, sort=True))
+    a = base(cs.params, xs, ys, jnp.int32(1), jnp.int32(3))
+    b = fast(cs.params, xs, ys, jnp.int32(1), jnp.int32(3))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    def loss(trace):
+        def f(params):
+            img = trace(params, xs, ys, jnp.int32(1), jnp.int32(3))
+            return jnp.mean(img[..., :3] * jnp.cos(
+                jnp.arange(img.shape[0], dtype=jnp.float32))[:, None])
+        return f
+
+    g_a = jax.grad(loss(base))(cs.params)
+    g_b = jax.grad(loss(fast))(cs.params)
+    for la, lb in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=2e-5, atol=1e-7)
