@@ -155,7 +155,18 @@ def main():
         B = r.tile_rays
         xs, ys, _, _, _, _ = r._pixel_schedule
         xs, ys = xs[:B], ys[:B]
-        sched = r.census_schedule(xs, ys, spp=2)
+        # exact-pass census: probe the SAME (pass_idx, spp) the trace
+        # below renders (streams are pure functions of (pass, spp, pix)),
+        # so the measured per-depth max live IS the true bound — safety
+        # drops to 1.05 and widths round to 1024-multiples instead of
+        # pow2. Width inflation is pure fwd+bwd waste: shading runs at
+        # full segment width and the backward recomputes + VJPs exactly
+        # that chain (pow2 + 1.3x was ~1.9x the true width on average).
+        # shrink_ratio 0.5: a boundary only when it halves the width — an
+        # every-depth exact schedule (22 boundaries) measured 383k vs 476k
+        sched = r.census_schedule(xs, ys, spp=PASSES, passes=[0],
+                                  safety=1.05, quant=1024,
+                                  shrink_ratio=0.5)
         print(f"bench: compaction schedule {sched}", file=sys.stderr)
         # segment_hits: the remat policy SAVES the named hit records, so
         # the backward recompute dead-code-eliminates the detached

@@ -40,7 +40,12 @@ def main():
     xs, ys, _, _, _, _ = r._pixel_schedule
     xs, ys = xs[:B], ys[:B]
     t0 = time.perf_counter()
-    sched = r.census_schedule(xs, ys, spp=2)
+    if os.environ.get("PROBE_EXACT_CENSUS", "1") == "1":
+        sched = r.census_schedule(
+            xs, ys, spp=PASSES, passes=[0], safety=1.05, quant=1024,
+            shrink_ratio=float(os.environ.get("PROBE_SHRINK", "0.5")))
+    else:
+        sched = r.census_schedule(xs, ys, spp=2)
     print(f"probe: schedule {sched}  ({time.perf_counter()-t0:.1f}s)",
           file=sys.stderr)
     remat = {"segment": "segment", "segment_hits": "segment_hits",
