@@ -459,6 +459,18 @@ class WavefrontRenderer:
         the same (xs, ys) batch; other pass indices vary only by RNG —
         hence the safety factor).
 
+        VALIDITY OF TIGHT SAFETY FACTORS: Russian-roulette survival
+        depends on shaded attenuation and hence on `params`, so an
+        exact-pass census (safety near 1.0) is a true bound only when
+        the rendered call uses the SAME params and pass set as this
+        probe. In an optimization loop where params update every step,
+        keep safety >= 1.3 (and probe all passes) for a schedule reused
+        across steps. Either way the trace itself guards the contract:
+        if live lanes ever exceed a segment width, the whole result is
+        poisoned to NaN (loud) instead of paths being silently dropped
+        (wrong image AND gradients); under CRAYTPU_DEBUG, jax_debug_nans
+        then raises at the poisoning point.
+
         passes: explicit pass indices to probe (default range(spp)).
         When the caller probes EXACTLY the (pass_idx, spp) pairs it will
         render — the sampler streams are pure functions of (pass, spp,
@@ -626,6 +638,9 @@ class WavefrontRenderer:
                     pos = jnp.where(al, c - 1,
                                     n_live + jnp.arange(n, dtype=i32)
                                     - c)
+                    # pos is a permutation of arange(n) by construction
+                    # (live lanes get 0..n_live-1, dead lanes the rest),
+                    # so the mode="drop" scatter can never actually drop
                     return jnp.zeros(n, i32).at[pos].set(
                         jnp.arange(n, dtype=i32), mode="drop")[:w]
 
@@ -633,6 +648,15 @@ class WavefrontRenderer:
                     de = bounds[si + 1]
                     if w < alive.shape[0]:
                         final = final.at[lane].add(delta)
+                        # schedule-contract guard: truncating LIVE lanes
+                        # would silently drop radiance and corrupt
+                        # gradients (census_schedule docstring) — poison
+                        # the result instead so violations fail loudly
+                        # (and raise under CRAYTPU_DEBUG's debug_nans)
+                        overflow = jnp.sum(alive.astype(i32)) > i32(w)
+                        final = jnp.where(overflow,
+                                          jnp.full_like(final, jnp.nan),
+                                          final)
                         order = live_first(alive, w)      # live-first
                         o, d, weight = o[order], d[order], weight[order]
                         s = jax.tree.map(lambda x: x[order], s)

@@ -68,6 +68,46 @@ def test_compacted_trace_matches_plain_forward_and_grad():
                                    rtol=2e-4, atol=1e-7)
 
 
+def test_exact_census_bench_config_bit_exact():
+    """The bench's exact-census configuration (passes=[pass], tight
+    safety, quant widths, shrink-gated boundaries, remat='segment_hits')
+    must reproduce the plain trace for the probed (pass_idx, spp) with
+    NO dropped paths. The claim rests on two subtle identities —
+    packed-LDR vs f32 texture-fetch bit-exactness and static
+    _step_pre/_step_rr vs dynamic-rr trace-step sampler-stream identity
+    — this locks both in (ADVICE r4). Tolerance is 1-ulp: the only
+    permitted difference is the per-segment radiance-flush
+    reassociation ((a+b)+(c+d) vs sequential); a dropped path would be
+    an O(sample-weight) error, far above it — and would now also NaN
+    the image (the schedule-overflow guard)."""
+    cs, r, xs, ys = _setup()
+    sched = r.census_schedule(xs, ys, spp=3, depth=DEPTH, passes=[1],
+                              safety=1.01, min_width=64, quant=64,
+                              shrink_ratio=0.5)
+    assert len(sched) >= 2      # tight widths actually engaged
+    plain = jax.jit(r.make_trace_fn(depth=DEPTH))
+    comp = jax.jit(r.make_trace_fn(depth=DEPTH, remat="segment_hits",
+                                   compaction=sched))
+    a = np.asarray(plain(cs.params, xs, ys, jnp.int32(1), jnp.int32(3)))
+    b = np.asarray(comp(cs.params, xs, ys, jnp.int32(1), jnp.int32(3)))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(b, a, rtol=3e-7, atol=1e-6)
+
+
+def test_schedule_overflow_poisons_not_truncates():
+    """A schedule whose width is EXCEEDED by live lanes must fail loudly
+    (NaN-poisoned result), not silently drop paths (ADVICE r4 medium)."""
+    cs, r, xs, ys = _setup()
+    honest = r.census_schedule(xs, ys, spp=3, depth=DEPTH, min_width=64)
+    # sabotage: force a width far below the true live count at depth 1
+    lying = [(0, xs.shape[0]), (1, 64)]
+    assert any(w > 64 for d, w in honest if d >= 1) or \
+        int(xs.shape[0]) > 64
+    comp = jax.jit(r.make_trace_fn(depth=DEPTH, compaction=lying))
+    out = np.asarray(comp(cs.params, xs, ys, jnp.int32(1), jnp.int32(3)))
+    assert np.isnan(out).all()
+
+
 def test_sorted_segment_hits_trace_matches_plain():
     """remat='segment_hits' (hit records saved, search never recomputed
     in the backward) + sort=True (detached per-bounce Morton re-sort):
