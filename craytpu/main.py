@@ -148,7 +148,6 @@ def main(argv: list[str] | None = None) -> int:
         fileio.stop_recording()
 
     from craytpu.scene.compile import compile_scene
-    from craytpu.models.wavefront_pt import WavefrontRenderer
     from craytpu.ops import sampler as smp
     from craytpu.runtime import checkpoint
 
@@ -167,12 +166,12 @@ def main(argv: list[str] | None = None) -> int:
     nee = bool(opts.get("nee"))
     if nee:
         logging.info("Next-event estimation enabled (--nee)")
-    if clustering:
-        # the TCP master keeps a single-device local renderer; remote
-        # workers use all THEIR local devices (cluster.py make_renderer)
-        r = WavefrontRenderer(cscene, kind=kind, nee=nee)
-    else:
-        r = make_renderer(cscene, kind=kind, nee=nee)
+    # one factory for every role: the TCP master renders its share of
+    # tiles over all ITS local devices too (renderer.c:96-117 — the
+    # reference master's full local thread pool runs alongside its
+    # network threads); cluster.render_tile routes sharded renderers
+    # through the render_ids persistent-pool path
+    r = make_renderer(cscene, kind=kind, nee=nee)
     sharded = isinstance(r, ShardedPoolRenderer)
 
     import jax.numpy as jnp

@@ -22,9 +22,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# 2 local CPU devices per process BEFORE jax import
-os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=2")
+# argv[4] local CPU devices per process (default 2) BEFORE jax import
+_NDEV = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={_NDEV}")
 os.environ["CRAYTPU_PLATFORM"] = "cpu"
 
 import jax  # noqa: E402
@@ -44,7 +46,7 @@ def main():
     ok = init_distributed(coord, nproc, pid)
     assert ok, "init_distributed returned False"
     assert jax.process_count() == nproc
-    assert len(jax.devices()) == 2 * nproc
+    assert len(jax.devices()) == _NDEV * nproc
 
     from craytpu.scene.sceneloader import load_scene_from_file
     from craytpu.scene.compile import compile_scene
@@ -62,7 +64,7 @@ def main():
     ref = WavefrontRenderer(cs, tile_rays=4096).render_persistent(spp=spp)
 
     r = ShardedPoolRenderer(cs, tile_rays=1024)
-    assert r.D == 2 * nproc
+    assert r.D == _NDEV * nproc
 
     # 1. full product render over the multi-process mesh
     img = r.render_persistent(spp=spp)
