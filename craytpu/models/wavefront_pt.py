@@ -33,6 +33,7 @@ import numpy as np
 from craytpu.ops import sampler as smp
 from craytpu.ops import shading
 from craytpu.ops import traverse as trv
+from craytpu.ops import vecmath as vm
 from craytpu.scene.compile import CompiledScene
 
 f32 = jnp.float32
@@ -404,10 +405,13 @@ class WavefrontRenderer:
                 rr_break = jnp.zeros_like(is_hit)
 
             survive = is_hit & ~rr_break
+            # pathtrace.c:57: colorCoef(1/p, att*weight) — reciprocal
+            # then multiply, NOT a division (different rounding);
+            # exact_div keeps the reciprocal backend-bit-stable
+            coef = vm.exact_div(
+                f32(1.0), jnp.maximum(prob, f32(1e-30)))[..., None]
             weight = jnp.where(survive[..., None],
-                               attenuation * weight
-                               / jnp.maximum(prob, f32(1e-30))[..., None],
-                               weight)
+                               (attenuation * weight) * coef, weight)
             o = jnp.where(survive[..., None], p_w, o)
             d = jnp.where(survive[..., None], out, d)
             if checks and self._debug:

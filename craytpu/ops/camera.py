@@ -74,21 +74,24 @@ def make_camera_ray_fn(cam: CameraHost, kind: str):
         jy = vm.triangle_distribution(d2)
         px = jnp.asarray(x, f32) - half_w + jx + f32(0.5)
         py = jnp.asarray(y, f32) - half_h + jy + f32(0.5)
-        pix_v = forward + pix_x * px + pix_y * py
+        # reference-binary rounding: pixV = forward + fma(pixX, px,
+        # pixY*py) per component (getCameraRay disassembly)
+        pix_v = forward + vm.det_fma(pix_x, px, pix_y * py)
         direction = vm.vnormalize(pix_v)
         start = jnp.zeros(3, f32)
 
         if aperture > 0.0:  # static branch, camera.c:77-83
-            ft = focal_distance / vm.vdot(direction, forward)
+            ft = vm.exact_div(focal_distance, vm.vdot(direction, forward))
             focus_point = start + direction * ft
             lx, ly, s = vm.random_coord_on_unit_disc(kind, s)
             lens = right * (f32(aperture) * lx) + up * (f32(aperture) * ly)
             start = start + lens
             direction = vm.vnormalize(focus_point - start)
 
-        # To world space (camera.c:85): transformRay by composite.A
-        w_start = A[:3, :3] @ start + A[:3, 3]
-        w_dir = A[:3, :3] @ direction
+        # To world space (camera.c:85): transformRay by composite.A.
+        # Explicit chains, not @: backend-bit-stable (vm.mat34_point)
+        w_start = vm.mat34_point(A[:3, :4], start)
+        w_dir = vm.mat33_vec(A[:3, :4], direction)
         return w_start, w_dir, s
 
     return get_ray

@@ -14,8 +14,10 @@ TWO gathers of denormalized rows:
 Exact (t, u, v) are recomputed here with the classic Möller-Trumbore
 formulation on the single winner (same ops, same order as the SIMT path),
 so shading consumes bit-identical hit data to the reference-exact
-traversal whenever the same primitive wins. Sphere t comes from the
-kernel's exact f32 quadratic (identical formula to ops/intersect.py).
+traversal whenever the same primitive wins. Sphere t is likewise
+recomputed on the winner with the reference-rounded quadratic
+(ops/intersect.py sphere_intersect) — the kernel's in-kernel t is
+search precision only.
 """
 
 from __future__ import annotations
@@ -33,7 +35,8 @@ FLT_MAX = isx.FLT_MAX
 
 
 def build_wide_rows(tri_packed, tri_shade, tri_mf, inst_A, inst_Ainv,
-                    inst_offset, inst_kind, inst_obj, sph_mat):
+                    inst_offset, inst_kind, inst_obj, sph_mat,
+                    sph_radius=None):
     """Host-side construction of the denormalized rows (numpy)."""
     P = tri_packed.shape[0]
     tw = np.zeros((P, 32), np.float32)
@@ -52,6 +55,8 @@ def build_wide_rows(tri_packed, tri_shade, tri_mf, inst_A, inst_Ainv,
     for i in range(Imax):
         if inst_kind[i] == INST_SPHERE:
             iw[i, 25] = float(sph_mat[inst_obj[i]])
+            if sph_radius is not None:
+                iw[i, 26] = float(sph_radius[inst_obj[i]])
     return tw, iw
 
 
@@ -86,10 +91,10 @@ def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
         Ainv = iw[:, 12:24].reshape(-1, 3, 4)
         off = iw[:, 24]
         # object-space ray — identical ops to traverse.space_ray
-        o_s = (jnp.einsum("...ij,...j->...i", Ainv[..., :, :3], o_w)
-               + Ainv[..., :, 3])
-        d_s = jnp.einsum("...ij,...j->...i", Ainv[..., :, :3], d_w)
-        o_s = o_s + d_s * off[..., None]
+        # (explicit chains, backend-bit-stable: vm.mat34_point)
+        o_s = vm.mat34_point(Ainv, o_w)
+        d_s = vm.mat33_vec(Ainv, d_w)
+        o_s = vm.det_fma(d_s, off[..., None], o_s)  # fma, instance.c:174
 
         is_sphere = prim < 0
         pr = jnp.maximum(prim, 0)
@@ -99,17 +104,24 @@ def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
         _, t_x, u_x, v_x = isx.tri_intersect(
             tri_row, o_s, d_s, jnp.full(B, FLT_MAX, f32))
         is_tri = is_hit & ~is_sphere
-        t = jnp.where(is_tri, t_x, t_k)
+        # sphere winners: recompute t with the reference-rounded
+        # quadratic too (the Pallas kernel's in-kernel t is search
+        # precision — Mosaic's contraction isn't pinned like
+        # isx.sphere_intersect's det_fma chain is)
+        _, t_s = isx.sphere_intersect(iw[:, 26], o_s, d_s,
+                                      jnp.full(B, FLT_MAX, f32))
+        t = jnp.where(is_tri, t_x, jnp.where(is_sphere & is_hit,
+                                             t_s, t_k))
         u = jnp.where(is_tri, u_x, f32(0.0))
         v = jnp.where(is_tri, v_x, f32(0.0))
         t = jnp.where(is_hit, t, FLT_MAX)
 
-        p_obj = o_s + d_s * t[..., None]
+        p_obj = vm.along_ray(o_s, d_s, t)  # alongRay fma rounding
 
         # --- sphere path (instance.c:45-60) ---
         sph_len = jnp.where(is_sphere, vm.vlength(p_obj), f32(1.0))
-        n_obj_sphere = p_obj / jnp.where(sph_len == 0, f32(1.0),
-                                         sph_len)[..., None]
+        n_obj_sphere = vm.exact_div(
+            p_obj, jnp.where(sph_len == 0, f32(1.0), sph_len)[..., None])
         if sphere_uv:
             # getTexMapSphere (instance.c:33-43), object-space normal
             phi = jnp.arctan2(n_obj_sphere[..., 2], n_obj_sphere[..., 0])
@@ -126,16 +138,19 @@ def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
 
         # --- mesh path ---
         w = f32(1.0) - u - v
-        n_smooth = (tw[:, 15:18] * u[..., None]
-                    + tw[:, 18:21] * v[..., None]
-                    + tw[:, 12:15] * w[..., None])
+        # poly.c:42-46 contraction: fma(n0, w, fma(n1, u, n2*v))
+        n_smooth = vm.det_fma(
+            tw[:, 12:15], w[..., None],
+            vm.det_fma(tw[:, 15:18], u[..., None],
+                       tw[:, 18:21] * v[..., None]))
         n_flat = tri_row[:, 9:12]
         flags = tw[:, 28].astype(i32)
         has_n = (flags & 1) == 1
         n_obj_mesh = jnp.where(has_n[..., None], n_smooth, n_flat)
-        uv_mesh = (tw[:, 23:25] * u[..., None]
-                   + tw[:, 25:27] * v[..., None]
-                   + tw[:, 21:23] * w[..., None])
+        uv_mesh = vm.det_fma(
+            tw[:, 21:23], w[..., None],
+            vm.det_fma(tw[:, 23:25], u[..., None],
+                       tw[:, 25:27] * v[..., None]))
         uv_ok = (flags & 2) == 2
         uv_mesh = jnp.where(uv_ok[..., None], uv_mesh,
                             jnp.array([-1.0, -1.0], f32))
@@ -143,14 +158,13 @@ def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
 
         n_obj = jnp.where(is_sphere[..., None], n_obj_sphere, n_obj_mesh)
         # world normal: transformVectorWithTranspose(Ainv) == Ainv^T
-        n_w = jnp.einsum("...ji,...j->...i", Ainv[..., :, :3], n_obj)
+        n_w = vm.mat33_vec_T(Ainv, n_obj)
         n_len = vm.vlength(n_w)
         n_w = jnp.where(is_sphere[..., None], n_w,
-                        n_w / jnp.where(n_len == 0, f32(1.0),
-                                        n_len)[..., None])
+                        vm.exact_div(n_w, jnp.where(n_len == 0, f32(1.0),
+                                                    n_len)[..., None]))
 
-        p_w = (jnp.einsum("...ij,...j->...i", A[..., :, :3], p_obj)
-               + A[..., :, 3])
+        p_w = vm.mat34_point(A, p_obj)
         uv = jnp.where(is_sphere[..., None],
                        jnp.stack([sph_u, sph_v], axis=-1), uv_mesh)
         mat_id = jnp.where(is_sphere, sph_mat, mesh_mat)

@@ -33,7 +33,9 @@ def tri_intersect(tri_row, origin, direction, best_t):
     n = tri_row[..., 9:12]
     c = v0 - origin
     r = vm.vcross(direction, c)
-    inv_det = f32(1.0) / vm.vdot(n, direction)
+    # exact_div: TPU's reciprocal-based divide is up to 2 ulp off CPU's;
+    # t feeds hit points that deep glass chains amplify (vm.exact_div)
+    inv_det = vm.exact_div(f32(1.0), vm.vdot(n, direction))
     u = vm.vdot(r, e2) * inv_det
     v = vm.vdot(r, e1) * inv_det
     uv_ok = (u >= f32(0.0)) & (v >= f32(0.0)) & (u + v <= f32(1.0))
@@ -47,13 +49,19 @@ def sphere_intersect(radius, origin, direction, best_t):
 
     Keeps the reference's quirks: roots divided by 2 (not 2A), closest-root
     pick, 1e-5 near cutoff, and <=best acceptance. Returns (hit, t).
+
+    Rounded exactly like the reference BINARY's contracted build
+    (intersectSphere disassembly): C = fnma(r, r, o.o) and
+    disc = fms(B, B, (4A)*C) are single-rounding fmas — the (-B + sq)
+    cancellation amplifies a 1-ulp disc difference several ulps into t,
+    which deep glass chains turn into visible golden deviations.
     """
     A = vm.vdot(direction, direction)
     B = f32(2.0) * vm.vdot(direction, origin)
-    C = vm.vdot(origin, origin) - radius * radius
-    disc = B * B - f32(4.0) * A * C
+    C = vm.det_fma(-radius, radius, vm.vdot(origin, origin))
+    disc = vm.det_fma(B, B, -((f32(4.0) * A) * C))
     has_roots = disc >= f32(0.0)
-    sq = jnp.sqrt(jnp.maximum(disc, f32(0.0)))
+    sq = vm.exact_sqrt(jnp.maximum(disc, f32(0.0)))
     t0 = (-B + sq) / f32(2.0)
     t1 = (-B - sq) / f32(2.0)
     t0 = jnp.where((t0 > t1) & (t1 > f32(0.0)), t1, t0)
@@ -95,6 +103,6 @@ def node_intersect(bounds6, inv_dir, scaled_start, octant, max_dist):
 
 def ray_octant_invdir(direction):
     """Precompute traversal constants (bvh.c:370-376)."""
-    inv_dir = f32(1.0) / direction
+    inv_dir = vm.exact_div(f32(1.0), direction)
     octant = (jnp.signbit(direction)).astype(jnp.int32)
     return inv_dir, octant

@@ -479,7 +479,7 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             fz, s_adv = vm.random_on_unit_sphere(kind, s)
             fuzzy = rough > f32(0.0)
             out = jnp.where(fuzzy[..., None],
-                            refl + fz * rough[..., None], refl)
+                            vm.det_fma(fz, rough[..., None], refl), refl)
             s = smp.select_state(fuzzy, s_adv, s)
             return out, color_fn(p, rec), s
         return metal_sample
@@ -496,17 +496,22 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             ln = vm.vlength(rec.incident)
             entering = d > f32(0.0)
             outward = jnp.where(entering[..., None], -rec.normal, rec.normal)
-            ni_over_nt = jnp.where(entering, ior, f32(1.0) / ior)
-            cosine = jnp.where(entering, ior * d / ln, -(d / ln))
+            # exact_div: ni_over_nt steers the refracted DIRECTION, and
+            # cosine the reflect/refract branch — both must be
+            # backend-bit-stable for golden parity (vm.exact_div)
+            ni_over_nt = jnp.where(entering, ior, vm.exact_div(f32(1.0),
+                                                               ior))
+            cosine = jnp.where(entering, vm.exact_div(ior * d, ln),
+                               -vm.exact_div(d, ln))
             ok, refr = vm.refract(rec.incident, outward, ni_over_nt)
             refl_prob = jnp.where(ok, vm.schlick(cosine, ior), f32(1.0))
             rough = rough_fn(p, rec)
             fz, s_adv = vm.random_on_unit_sphere(kind, s)
             fuzzy = rough > f32(0.0)
             refl = jnp.where(fuzzy[..., None],
-                             refl + fz * rough[..., None], refl)
+                             vm.det_fma(fz, rough[..., None], refl), refl)
             refr = jnp.where(fuzzy[..., None],
-                             refr + fz * rough[..., None], refr)
+                             vm.det_fma(fz, rough[..., None], refr), refr)
             s = smp.select_state(fuzzy, s_adv, s)
             dim, s = smp.get_dimension(kind, s)
             out = jnp.where((dim < refl_prob)[..., None], refl, refr)
@@ -525,8 +530,10 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             ln = vm.vlength(rec.incident)
             entering = d > f32(0.0)
             outward = jnp.where(entering[..., None], -rec.normal, rec.normal)
-            ni_over_nt = jnp.where(entering, rec.ior, f32(1.0) / rec.ior)
-            cosine = jnp.where(entering, rec.ior * d / ln, -(d / ln))
+            ni_over_nt = jnp.where(entering, rec.ior,
+                                   vm.exact_div(f32(1.0), rec.ior))
+            cosine = jnp.where(entering, vm.exact_div(rec.ior * d, ln),
+                               -vm.exact_div(d, ln))
             ok, _ = vm.refract(rec.incident, outward, ni_over_nt)
             refl_prob = jnp.where(ok, vm.schlick(cosine, rec.ior), f32(1.0))
             dim, s = smp.get_dimension(kind, s)
@@ -537,7 +544,7 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             fz, s_fuzz = vm.random_on_unit_sphere(kind, s)
             fuzzy = rough > f32(0.0)
             shiny_out = jnp.where(fuzzy[..., None],
-                                  refl + fz * rough[..., None], refl)
+                                  vm.det_fma(fz, rough[..., None], refl), refl)
             s_shiny = smp.select_state(fuzzy, s_fuzz, s)
             shiny_col = jnp.ones(_bcast_shape(rec) + (4,), f32)
             diff = inner_diffuse(p, rec, s)

@@ -33,12 +33,13 @@ FLT_MAX = isx.FLT_MAX
 
 
 def _mat34_point(M, p):
-    """(..., 3, 4) x (..., 3) affine point transform."""
-    return jnp.einsum("...ij,...j->...i", M[..., :, :3], p) + M[..., :, 3]
+    """(..., 3, 4) x (..., 3) affine point transform (explicit chains —
+    backend-bit-stable, see vm.mat34_point)."""
+    return vm.mat34_point(M, p)
 
 
 def _mat34_vec(M, v):
-    return jnp.einsum("...ij,...j->...i", M[..., :, :3], v)
+    return vm.mat33_vec(M, v)
 
 
 def space_ray(geom: Geometry, inst, o_w, d_w):
@@ -52,7 +53,7 @@ def space_ray(geom: Geometry, inst, o_w, d_w):
     off = geom.inst_offset[safe]
     o_t = _mat34_point(Ainv, o_w)
     d_t = _mat34_vec(Ainv, d_w)
-    o_t = o_t + d_t * off[..., None]
+    o_t = vm.det_fma(d_t, off[..., None], o_t)  # fma, instance.c:174
     is_obj = (inst >= 0)[..., None]
     o = jnp.where(is_obj, o_t, o_w)
     d = jnp.where(is_obj, d_t, d_w)
@@ -209,13 +210,13 @@ def hit_info(geom: Geometry, shade, origin_w, direction_w, hit: Hit):
     A = geom.inst_A[safe_inst]
     Ainv = geom.inst_Ainv[safe_inst]
     o_s, d_s = space_ray(geom, safe_inst, origin_w, direction_w)
-    p_obj = o_s + d_s * hit.t[..., None]
+    p_obj = vm.along_ray(o_s, d_s, hit.t)  # alongRay fma rounding
 
     is_sphere = hit.prim < 0
     # --- sphere path ---
     sph_len = jnp.where(is_sphere, vm.vlength(p_obj), f32(1.0))
-    n_obj_sphere = p_obj / jnp.where(sph_len == 0, f32(1.0),
-                                     sph_len)[..., None]
+    n_obj_sphere = vm.exact_div(p_obj, jnp.where(sph_len == 0, f32(1.0),
+                                                 sph_len)[..., None])
     # getTexMapSphere (instance.c:33-43) from the OBJECT-space normal
     phi = jnp.arctan2(n_obj_sphere[..., 2], n_obj_sphere[..., 0])
     theta = jnp.arcsin(jnp.clip(n_obj_sphere[..., 1], -1.0, 1.0))
@@ -231,15 +232,19 @@ def hit_info(geom: Geometry, shade, origin_w, direction_w, hit: Hit):
     w = f32(1.0) - u - v
     ts = shade.tri_shade[pr]                        # (B, 16)
     mf = shade.tri_mf[pr]                           # (B, 2)
-    n_smooth = (ts[..., 3:6] * u[..., None]
-                + ts[..., 6:9] * v[..., None]
-                + ts[..., 0:3] * w[..., None])
+    # poly.c:42-46 addCoords(addCoords(u*n1, v*n2), w*n0) contracts to
+    # fma(n0, w, fma(n1, u, n2*v)) per component
+    n_smooth = vm.det_fma(
+        ts[..., 0:3], w[..., None],
+        vm.det_fma(ts[..., 3:6], u[..., None],
+                   ts[..., 6:9] * v[..., None]))
     n_flat = geom.tri_packed[pr][..., 9:12]
     has_n = (mf[..., 1] & 1) == 1
     n_obj_mesh = jnp.where(has_n[..., None], n_smooth, n_flat)
-    uv_mesh = (ts[..., 11:13] * u[..., None]
-               + ts[..., 13:15] * v[..., None]
-               + ts[..., 9:11] * w[..., None])
+    uv_mesh = vm.det_fma(
+        ts[..., 9:11], w[..., None],
+        vm.det_fma(ts[..., 11:13], u[..., None],
+                   ts[..., 13:15] * v[..., None]))
     uv_ok = (mf[..., 1] & 2) == 2
     uv_mesh = jnp.where(uv_ok[..., None], uv_mesh,
                         jnp.array([-1.0, -1.0], f32))
@@ -247,10 +252,11 @@ def hit_info(geom: Geometry, shade, origin_w, direction_w, hit: Hit):
 
     n_obj = jnp.where(is_sphere[..., None], n_obj_sphere, n_obj_mesh)
     # world normal: transformVectorWithTranspose(Ainv) == Ainv^T (3x3 part)
-    n_w = jnp.einsum("...ji,...j->...i", Ainv[..., :, :3], n_obj)
+    n_w = vm.mat33_vec_T(Ainv, n_obj)
     n_len = vm.vlength(n_w)
     n_w = jnp.where(is_sphere[..., None], n_w,
-                    n_w / jnp.where(n_len == 0, f32(1.0), n_len)[..., None])
+                    vm.exact_div(n_w, jnp.where(n_len == 0, f32(1.0),
+                                                n_len)[..., None]))
 
     p_w = _mat34_point(A, p_obj)
     uv = jnp.where(is_sphere[..., None],

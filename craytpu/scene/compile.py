@@ -52,6 +52,24 @@ class CompiledScene:
         return make_camera_ray_fn(self.camera, kind)
 
 
+def _cross_fms(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """vecCross with the reference BINARY's rounding: the contracted
+    build computes cross_i = fma(a_j, b_k, -(a_k*b_j)) — one f32-rounded
+    product, one fused one. Emulated via f64 (product exact in f64; the
+    final f64->f32 round matches a true fma except ~2^-29-probability
+    double-rounding ties). Device-side analogue: vecmath.vcross."""
+    def fms(x, y, c):
+        return (x.astype(np.float64) * y.astype(np.float64)
+                - c.astype(np.float64)).astype(F)
+    ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
+    bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
+    return np.stack([
+        fms(ay, bz, (az * by).astype(F)),
+        fms(az, bx, (ax * bz).astype(F)),
+        fms(ax, by, (ay * bx).astype(F)),
+    ], axis=1)
+
+
 def _mat34(A: np.ndarray) -> np.ndarray:
     return A[:3, :4].astype(F)
 
@@ -152,7 +170,7 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
         v2 = verts[mesh.tri_vidx[:, 2]].astype(F)
         e1 = v0 - v1  # poly.c:20
         e2 = v2 - v0  # poly.c:21
-        nrm = np.cross(e1, e2).astype(F)
+        nrm = _cross_fms(e1, e2)
         tri_packed[pos:pos + n] = np.concatenate([v0, e1, e2, nrm], axis=1)
         tri_nidx[pos:pos + n] = np.maximum(mesh.tri_nidx, 0)
         tri_uvidx[pos:pos + n] = np.maximum(mesh.tri_uvidx, 0)
@@ -377,7 +395,7 @@ def compile_scene(scene: SceneHost) -> CompiledScene:
     from craytpu.ops.hitrec import build_wide_rows
     tri_wide, inst_wide = build_wide_rows(
         tri_packed, tri_shade, tri_mf, inst_A, inst_Ainv, inst_offset,
-        inst_kind, inst_obj, sph_mat)
+        inst_kind, inst_obj, sph_mat, sph_radius)
 
     # PHI-major layout (NB, PHI, 4*TB): HBM DMA slices must keep the lane
     # dim (last, multiple of 128) intact. Stored as stacked hi/lo bf16

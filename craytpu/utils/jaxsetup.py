@@ -15,6 +15,21 @@ def setup_jax(cache_dir: str | None = None) -> None:
     global _CONFIGURED
     if _CONFIGURED:
         return
+    # Cap the CPU backend's ISA at AVX (no FMA3). XLA:CPU otherwise
+    # contracts f32 mul+add chains into fma instructions, which lands
+    # dot products up to ~450k ulp (at cancellation) away from the
+    # TPU backend's IEEE sequential rounding; 50-bounce glass chains
+    # amplify that into visible golden deviations (VERDICT r4 #1,
+    # scripts/diag_dot3.py). Without FMA the CPU backend reproduces the
+    # TPU backend's geometry math BIT-EXACTLY, so the CPU test suite is
+    # representative of TPU behavior. Opt out with CRAYTPU_CPU_FMA=1
+    # (e.g. if a jaxlib drop renames the flag — unknown XLA_FLAGS
+    # abort the process).
+    if os.environ.get("CRAYTPU_CPU_FMA", "") in ("", "0"):
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_cpu_max_isa" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_cpu_max_isa=AVX").strip()
     import jax
     # The axon TPU plugin ignores the JAX_PLATFORMS *env var*, so honor an
     # explicit platform request here via jax.config (CRAYTPU_PLATFORM=cpu is

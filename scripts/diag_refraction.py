@@ -90,9 +90,9 @@ def main():
     from craytpu.ops.hitrec import make_isect_fn
     import jax.numpy as jnp
     isect_f = jax.jit(lambda o, d, a: make_isect_fn(r.cscene, "flash")(
-        r.geom, o, d, a))
+        r.cscene.geom, o, d, a))
     isect_s = jax.jit(lambda o, d, a: make_isect_fn(r.cscene, "simt")(
-        r.geom, o, d, a))
+        r.cscene.geom, o, d, a))
 
     B = min(r.tile_rays, W * H * 4)
     xs, ys, _, _, _, _ = r._pixel_schedule
