@@ -291,6 +291,18 @@ def main(argv: list[str] | None = None) -> int:
     if not progressive:
         import signal
 
+        region_tracker = None
+        last_regions = [0.0]
+        if preview_srv is not None:
+            # per-region progress grid for the preview overlay — the
+            # reference's per-tile in-flight feedback (ui.c:236-320)
+            from craytpu.runtime.regions import RegionTracker
+            npix_s = r.width * r.height
+            xs_s, ys_s, _, _, _, _ = r._pixel_schedule
+            region_tracker = RegionTracker(
+                r.width, r.height, np.asarray(xs_s[:npix_s]),
+                np.asarray(ys_s[:npix_s]))
+
         def ray_progress(done, total):
             frac = max(done, 0) / max(total, 1)
             sys.stderr.write(f"\r[{int(frac * 100):3d}%] "
@@ -298,6 +310,13 @@ def main(argv: list[str] | None = None) -> int:
             sys.stderr.flush()
             if preview_srv is not None:
                 preview_srv.progress_only(max(done, 0), total)
+                now = time.perf_counter()
+                if region_tracker is not None \
+                        and now - last_regions[0] >= 1.0:
+                    last_regions[0] = now
+                    lanes = r.tile_rays * getattr(r, "D", 1)
+                    preview_srv.update_regions(*region_tracker.snapshot(
+                        max(done, 0), spp, lanes))
 
         on_frame = None
         if preview_srv is not None:

@@ -22,11 +22,38 @@ body {{ background:#181818; color:#ddd; font:14px monospace; margin:16px }}
 img {{ image-rendering:pixelated; border:1px solid #444; max-width:100%% }}
 #bar {{ background:#333; height:8px; width:{w}px; max-width:100%% }}
 #fill {{ background:#6c6; height:8px; width:0 }}
+#wrap {{ position:relative; display:inline-block }}
+#grid {{ position:absolute; left:0; top:0; pointer-events:none }}
 </style></head><body>
 <div id="status">waiting for first frame…</div>
 <div id="bar"><div id="fill"></div></div><br>
+<div id="wrap">
 <img id="frame" width="{w}" height="{h}">
+<canvas id="grid" width="{w}" height="{h}"></canvas>
+</div>
 <script>
+// per-region overlay: darken unfinished cells, outline in-flight ones
+// (the reference's tile overlays + per-tile progress, ui.c:236-320)
+function drawRegions(s) {{
+  const cv = document.getElementById('grid');
+  const ctx = cv.getContext('2d');
+  ctx.clearRect(0, 0, cv.width, cv.height);
+  if (!s.regions) return;
+  const gh = s.regions.length, gw = s.regions[0].length;
+  const cw = cv.width / gw, ch = cv.height / gh;
+  for (let y = 0; y < gh; ++y) for (let x = 0; x < gw; ++x) {{
+    const f = s.regions[y][x];
+    if (f < 0.999) {{
+      ctx.fillStyle = `rgba(0,0,0,${{0.55 * (1 - f)}})`;
+      ctx.fillRect(x * cw, y * ch, cw, ch);
+    }}
+    if (s.inflight && s.inflight[y][x]) {{
+      ctx.strokeStyle = 'rgba(120,220,120,0.9)';
+      ctx.lineWidth = 1;
+      ctx.strokeRect(x * cw + 1, y * ch + 1, cw - 2, ch - 2);
+    }}
+  }}
+}}
 async function tick() {{
   try {{
     const s = await (await fetch('status.json')).json();
@@ -36,6 +63,7 @@ async function tick() {{
       `v${{s.version}}`;
     document.getElementById('fill').style.width =
       (100*s.done/Math.max(s.total,1)) + '%%';
+    drawRegions(s);
     const img = document.getElementById('frame');
     img.src = 'frame.png?v=' + s.version;
   }} catch (e) {{}}
@@ -62,6 +90,8 @@ class PreviewServer:
         self._png_version = -1
         self._done = 0
         self._total = 1
+        self._regions = None
+        self._inflight = None
         self._t0 = time.perf_counter()
         self._httpd = None
 
@@ -77,6 +107,13 @@ class PreviewServer:
         with self._lock:
             self._done = int(done)
             self._total = int(total)
+
+    def update_regions(self, done_frac, inflight):
+        """Per-cell progress grid (runtime.regions.RegionTracker
+        snapshot): done_frac (gh, gw) f32, inflight (gh, gw) bool."""
+        with self._lock:
+            self._regions = np.asarray(done_frac, np.float32)
+            self._inflight = np.asarray(inflight, bool)
 
     # -- server ----------------------------------------------------------
     def start(self) -> str:
@@ -144,12 +181,17 @@ class PreviewServer:
     def _status(self) -> str:
         with self._lock:
             done, total, version = self._done, self._total, self._version
+            regions = self._regions
+            inflight = self._inflight
         elapsed = time.perf_counter() - self._t0
         rate = done / elapsed if elapsed > 0 else 0.0
         eta = "?"
         if 0 < done < total and rate > 0:
             from craytpu.utils.logging import smart_time
             eta = smart_time((total - done) / rate * 1e3)
-        return json.dumps({"done": done, "total": total, "rate": rate,
-                           "eta": eta, "version": version,
-                           "elapsed": elapsed})
+        out = {"done": done, "total": total, "rate": rate,
+               "eta": eta, "version": version, "elapsed": elapsed}
+        if regions is not None:
+            out["regions"] = np.round(regions, 4).tolist()
+            out["inflight"] = inflight.astype(int).tolist()
+        return json.dumps(out)
