@@ -209,6 +209,41 @@ def main():
         "vs_c_ref_this_host": round(pps / C_REF_THIS_HOST, 3),
     }
 
+    # ---- stress-scene steady-state rates (VERDICT r4 #6): the
+    # HBM-streaming kernel path (stress_highpoly, 130k tris) and the
+    # SMEM instance-plan path (stress_instances, 64 instances) get
+    # throughput regression coverage, not just golden coverage. Floors:
+    # the round-2 captures 0.382M / 0.578M paths/s (BASELINE.md). Fewer
+    # passes than the main number (fixed ramp/drain costs understate
+    # steady state slightly — the floors were captured the same way). ----
+    STRESS = os.environ.get("BENCH_STRESS", "1") != "0"
+    stress_out = {}
+    if STRESS and scene_path == SCENE:
+        for sname, floor in (("stress_highpoly", 0.382e6),
+                             ("stress_instances", 0.578e6)):
+            spath = os.path.join(REPO, "assets", f"{sname}.json")
+            if not os.path.exists(spath):
+                continue
+            sscene = load_scene_from_file(spath, overrides)
+            sr = WavefrontRenderer(compile_scene(sscene))
+            sr.render_persistent(spp=1)       # compile + warm
+            spaths = sr.width * sr.height * 4
+            t0 = time.perf_counter()
+            acc = sr.render_persistent(spp=4, fetch=False)
+            _jax.block_until_ready(acc)
+            rate = spaths / (time.perf_counter() - t0)
+            key = f"{sname}_paths_per_sec"
+            stress_out[key] = round(rate, 1)
+            if rate < 0.9 * floor:
+                print(f"STRESS REGRESSION: {sname} {rate:,.0f} paths/s "
+                      f"< 0.9x the r2 floor {floor:,.0f}",
+                      file=sys.stderr)
+            else:
+                print(f"stress {sname}: {rate:,.0f} paths/s "
+                      f"(floor {floor:,.0f})", file=sys.stderr)
+            del sr, acc
+    out.update(stress_out)
+
     # ---- perf regression gate: compare against the PREVIOUS round's
     # driver capture so a regression self-reports loudly instead of
     # hiding in a table (VERDICT r3 #7). Warns below 0.9x; the golden

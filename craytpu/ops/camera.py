@@ -76,7 +76,7 @@ def make_camera_ray_fn(cam: CameraHost, kind: str):
         py = jnp.asarray(y, f32) - half_h + jy + f32(0.5)
         # reference-binary rounding: pixV = forward + fma(pixX, px,
         # pixY*py) per component (getCameraRay disassembly)
-        pix_v = forward + vm.det_fma(pix_x, px, pix_y * py)
+        pix_v = forward + vm.fma_raw(pix_x, px, pix_y * py)
         direction = vm.vnormalize(pix_v)
         start = jnp.zeros(3, f32)
 

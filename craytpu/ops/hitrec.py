@@ -94,7 +94,7 @@ def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
         # (explicit chains, backend-bit-stable: vm.mat34_point)
         o_s = vm.mat34_point(Ainv, o_w)
         d_s = vm.mat33_vec(Ainv, d_w)
-        o_s = vm.det_fma(d_s, off[..., None], o_s)  # fma, instance.c:174
+        o_s = vm.fma_raw(d_s, off[..., None], o_s)  # fma, instance.c:174
 
         is_sphere = prim < 0
         pr = jnp.maximum(prim, 0)
@@ -139,17 +139,17 @@ def make_hitrec_fn(tri_wide, inst_wide, sphere_uv: bool, diff: bool):
         # --- mesh path ---
         w = f32(1.0) - u - v
         # poly.c:42-46 contraction: fma(n0, w, fma(n1, u, n2*v))
-        n_smooth = vm.det_fma(
+        n_smooth = vm.fma_raw(
             tw[:, 12:15], w[..., None],
-            vm.det_fma(tw[:, 15:18], u[..., None],
+            vm.fma_raw(tw[:, 15:18], u[..., None],
                        tw[:, 18:21] * v[..., None]))
         n_flat = tri_row[:, 9:12]
         flags = tw[:, 28].astype(i32)
         has_n = (flags & 1) == 1
         n_obj_mesh = jnp.where(has_n[..., None], n_smooth, n_flat)
-        uv_mesh = vm.det_fma(
+        uv_mesh = vm.fma_raw(
             tw[:, 21:23], w[..., None],
-            vm.det_fma(tw[:, 23:25], u[..., None],
+            vm.fma_raw(tw[:, 23:25], u[..., None],
                        tw[:, 25:27] * v[..., None]))
         uv_ok = (flags & 2) == 2
         uv_mesh = jnp.where(uv_ok[..., None], uv_mesh,
@@ -184,12 +184,87 @@ def make_isect_fn(cscene, mode: str, diff: bool = False):
     dm = cscene.dense_meta
 
     if mode == "flash" and dm is not None and dm.get("mesh_plan") is not None:
+        import os
+        import jax as _jax
         from craytpu.ops import flash2 as fx2
         flash = fx2.build_flash2_fn(dm)
-        hitrec = make_hitrec_fn(dm["tri_wide"], dm["inst_wide"],
-                                dm["sphere_uv"], diff)
 
         pack = fx2.pack_rays_nat if fx2._natrays() else fx2.pack_rays_T
+
+        # the Pallas hit-record kernel collapses the winner resolve into
+        # one VMEM pass (17.8 -> ~1 ms at 1M lanes); the XLA hitrec
+        # stays as the differentiable/reference twin (bit-identical —
+        # tests/test_hitrec_kernel.py)
+        use_kernel = (not diff
+                      and _jax.default_backend() != "cpu"
+                      and os.environ.get("CRAYTPU_HITREC",
+                                         "kernel") == "kernel")
+        if use_kernel:
+            from craytpu.ops import hitrec_kernel as hk
+            kernel = hk.build_hitrec_kernel(dm["sphere_uv"])
+            tri_wide = jnp.asarray(dm["tri_wide"])
+            inst_wide_T = jnp.asarray(dm["inst_wide"]).T   # (28, I)
+            n_inst = int(inst_wide_T.shape[1])
+            sphere_uv = dm["sphere_uv"]
+            from craytpu.ops import vecmath as vm
+
+            def isect(geom, o_w, d_w, alive):
+                B = o_w.shape[0]
+                rays_T = pack(o_w, d_w)
+                limit = jnp.where(alive, f32(FLT_MAX), f32(0.0))
+                t, p, ii = flash(rays_T,
+                                 fx2.pack_limit(limit, rays_T.shape[0]))
+                t_k = t.reshape(-1)[:B]
+                prim = p.reshape(-1)[:B]
+                inst = ii.reshape(-1)[:B]
+
+                is_hit = inst >= 0
+                safe_inst = jnp.maximum(inst, 0)
+                pr = jnp.maximum(prim, 0)
+                tw = tri_wide[pr]                          # (B, 32)
+                ohT = (jnp.arange(n_inst, dtype=inst.dtype)[:, None]
+                       == safe_inst[None, :]).astype(f32)  # (I, B)
+                iwT = inst_wide_T @ ohT                    # (28, B)
+                pad = (-B) % hk.BLK
+                def padw(x, axis=1):
+                    if pad == 0:
+                        return x
+                    widths = [(0, 0)] * x.ndim
+                    widths[axis] = (0, pad)
+                    return jnp.pad(x, widths)
+                out = kernel(
+                    padw(tw.T), padw(iwT), padw(o_w.T), padw(d_w.T),
+                    padw(t_k[None]), padw((prim < 0).astype(i32)[None]),
+                    padw(is_hit.astype(i32)[None]))[:, :B]
+                t_out = out[0]
+                p_w = out[3:6].T
+                n_w = out[6:9].T
+                uv_mesh = out[9:11].T
+                if sphere_uv:
+                    # getTexMapSphere on the exported object-space normal
+                    nsx, nsy, nsz = out[11], out[12], out[13]
+                    phi = jnp.arctan2(nsz, nsx)
+                    theta = jnp.arcsin(jnp.clip(nsy, -1.0, 1.0))
+                    sph_v = (theta + vm.PI / f32(2.0)) / vm.PI
+                    sph_u = f32(1.0) - (phi + vm.PI) / (vm.PI * f32(2.0))
+                    sph_u = vm.wrap_min_max(sph_u, f32(0.0), f32(1.0))
+                    sph_v = vm.wrap_min_max(sph_v, f32(0.0), f32(1.0))
+                else:
+                    sph_u = jnp.zeros(B, f32)
+                    sph_v = jnp.zeros(B, f32)
+                is_sphere = prim < 0
+                uv = jnp.where(is_sphere[..., None],
+                               jnp.stack([sph_u, sph_v], axis=-1),
+                               uv_mesh)
+                mat_id = jnp.where(is_sphere,
+                                   iwT[25].astype(i32),
+                                   tw[:, 27].astype(i32))
+                mat_id = jnp.where(is_hit, mat_id, 0)
+                return is_hit, p_w, n_w, uv, mat_id, t_out
+            return isect
+
+        hitrec = make_hitrec_fn(dm["tri_wide"], dm["inst_wide"],
+                                dm["sphere_uv"], diff)
 
         def isect(geom, o_w, d_w, alive):
             B = o_w.shape[0]

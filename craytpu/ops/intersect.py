@@ -58,8 +58,8 @@ def sphere_intersect(radius, origin, direction, best_t):
     """
     A = vm.vdot(direction, direction)
     B = f32(2.0) * vm.vdot(direction, origin)
-    C = vm.det_fma(-radius, radius, vm.vdot(origin, origin))
-    disc = vm.det_fma(B, B, -((f32(4.0) * A) * C))
+    C = vm.fma_raw(-radius, radius, vm.vdot(origin, origin))
+    disc = vm.fma_raw(B, B, -((f32(4.0) * A) * C))
     has_roots = disc >= f32(0.0)
     sq = vm.exact_sqrt(jnp.maximum(disc, f32(0.0)))
     t0 = (-B + sq) / f32(2.0)

@@ -479,7 +479,7 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             fz, s_adv = vm.random_on_unit_sphere(kind, s)
             fuzzy = rough > f32(0.0)
             out = jnp.where(fuzzy[..., None],
-                            vm.det_fma(fz, rough[..., None], refl), refl)
+                            vm.fma_raw(fz, rough[..., None], refl), refl)
             s = smp.select_state(fuzzy, s_adv, s)
             return out, color_fn(p, rec), s
         return metal_sample
@@ -509,9 +509,9 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             fz, s_adv = vm.random_on_unit_sphere(kind, s)
             fuzzy = rough > f32(0.0)
             refl = jnp.where(fuzzy[..., None],
-                             vm.det_fma(fz, rough[..., None], refl), refl)
+                             vm.fma_raw(fz, rough[..., None], refl), refl)
             refr = jnp.where(fuzzy[..., None],
-                             vm.det_fma(fz, rough[..., None], refr), refr)
+                             vm.fma_raw(fz, rough[..., None], refr), refr)
             s = smp.select_state(fuzzy, s_adv, s)
             dim, s = smp.get_dimension(kind, s)
             out = jnp.where((dim < refl_prob)[..., None], refl, refr)
@@ -544,7 +544,7 @@ def compile_bsdf(ir, reg: Registry, kind: str):
             fz, s_fuzz = vm.random_on_unit_sphere(kind, s)
             fuzzy = rough > f32(0.0)
             shiny_out = jnp.where(fuzzy[..., None],
-                                  vm.det_fma(fz, rough[..., None], refl), refl)
+                                  vm.fma_raw(fz, rough[..., None], refl), refl)
             s_shiny = smp.select_state(fuzzy, s_fuzz, s)
             shiny_col = jnp.ones(_bcast_shape(rec) + (4,), f32)
             diff = inner_diffuse(p, rec, s)

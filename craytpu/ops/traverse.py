@@ -53,7 +53,7 @@ def space_ray(geom: Geometry, inst, o_w, d_w):
     off = geom.inst_offset[safe]
     o_t = _mat34_point(Ainv, o_w)
     d_t = _mat34_vec(Ainv, d_w)
-    o_t = vm.det_fma(d_t, off[..., None], o_t)  # fma, instance.c:174
+    o_t = vm.fma_raw(d_t, off[..., None], o_t)  # fma, instance.c:174
     is_obj = (inst >= 0)[..., None]
     o = jnp.where(is_obj, o_t, o_w)
     d = jnp.where(is_obj, d_t, d_w)
@@ -234,16 +234,16 @@ def hit_info(geom: Geometry, shade, origin_w, direction_w, hit: Hit):
     mf = shade.tri_mf[pr]                           # (B, 2)
     # poly.c:42-46 addCoords(addCoords(u*n1, v*n2), w*n0) contracts to
     # fma(n0, w, fma(n1, u, n2*v)) per component
-    n_smooth = vm.det_fma(
+    n_smooth = vm.fma_raw(
         ts[..., 0:3], w[..., None],
-        vm.det_fma(ts[..., 3:6], u[..., None],
+        vm.fma_raw(ts[..., 3:6], u[..., None],
                    ts[..., 6:9] * v[..., None]))
     n_flat = geom.tri_packed[pr][..., 9:12]
     has_n = (mf[..., 1] & 1) == 1
     n_obj_mesh = jnp.where(has_n[..., None], n_smooth, n_flat)
-    uv_mesh = vm.det_fma(
+    uv_mesh = vm.fma_raw(
         ts[..., 9:11], w[..., None],
-        vm.det_fma(ts[..., 11:13], u[..., None],
+        vm.fma_raw(ts[..., 11:13], u[..., None],
                    ts[..., 13:15] * v[..., None]))
     uv_ok = (mf[..., 1] & 2) == 2
     uv_mesh = jnp.where(uv_ok[..., None], uv_mesh,

@@ -36,18 +36,33 @@ PI = f32(3.14159265358979323846)  # includes.h PI
 # a*rsqrt(x), ~110 ulp off on camera directions).
 # --------------------------------------------------------------------------
 
-_SPLIT = f32(4097.0)  # 2^12 + 1: Dekker split point for f32 (24-bit)
+_SPLIT = 4097.0  # 2^12 + 1: Dekker split point for f32 (24-bit).
+# Python float, not a jnp array: these primitives are reused inside
+# Pallas kernels, which reject captured array constants.
+
+# CRAYTPU_FASTMATH=1 (profiling only): every deterministic primitive
+# degrades to its plain hardware form so the cost of the exactness layer
+# is directly measurable (scripts/profile_step.py). NOT for production —
+# golden parity rides on the exact forms.
+import os as _os
+_FASTMATH = _os.environ.get("CRAYTPU_FASTMATH", "") == "1"
 
 
 def _two_prod(x, y):
     """Exact product: returns (p, e) with p + e == x*y exactly
-    (Dekker/Veltkamp; valid while 4097*x and x*y stay finite)."""
-    bar = jax.lax.optimization_barrier
+    (Dekker/Veltkamp; valid while 4097*x and x*y stay finite).
+
+    No optimization_barriers: XLA does not reassociate floats by
+    default, so c - (c - x) survives on both backends (validated
+    bit-level by tests/test_detmath.py and scripts/diag_vs_c.py —
+    barriers here are fusion boundaries that materialize 4 MB
+    intermediates per op at 1M lanes and cost ~10% end-to-end).
+    """
     p = x * y
-    c = bar(_SPLIT * x)
+    c = _SPLIT * x
     hx = c - (c - x)
     lx = x - hx
-    c2 = bar(_SPLIT * y)
+    c2 = _SPLIT * y
     hy = c2 - (c2 - y)
     ly = y - hy
     e = ((hx * hy - p) + hx * ly + lx * hy) + ly * lx
@@ -67,11 +82,16 @@ def exact_div(a, b):
     non-finite it would poison reverse-mode grads — degenerate (b=0)
     lanes must be sanitized upstream exactly as with plain division.
     """
-    bar = jax.lax.optimization_barrier
-    q = bar(a / b)
+    # No barriers: exact_div's divisors are never a bare sqrt(x) value
+    # (exact_sqrt returns s + corr, an add), so XLA:TPU's
+    # divide-by-sqrt -> rsqrt rewrite cannot match here; the raw
+    # hardware divides are the ops being refined.
+    if _FASTMATH:
+        return a / b
+    q = a / b
     p, e = _two_prod(q, b)
     r = (a - p) - e
-    corr = bar(r / b)
+    corr = r / b
     return jnp.where(jnp.isfinite(corr), q + corr, q)
 
 
@@ -84,12 +104,47 @@ def exact_sqrt(x):
     by the result (scripts/diag_camera.py). s==0 / inf / NaN fall back
     to the hardware result (corr is non-finite there).
     """
-    bar = jax.lax.optimization_barrier
-    s = bar(jnp.sqrt(x))
+    # The only divide that sees the raw hardware sqrt is the refinement
+    # correction r/(s+s) — divide-by-add, which the divide-by-sqrt ->
+    # rsqrt rewrite cannot match; callers divide by the REFINED s + corr
+    # (an add) so they are pattern-safe too. No barriers needed
+    # (validated: scripts/diag_camera.py len/dir rows stay 0-ulp).
+    if _FASTMATH:
+        return jnp.sqrt(x)
+    s = jnp.sqrt(x)
     p, e = _two_prod(s, s)
     r = (x - p) - e
-    corr = bar(r / (s + s))
+    corr = r / (s + s)
     return jnp.where(jnp.isfinite(corr), s + corr, s)
+
+
+def _split(x):
+    """Veltkamp split: x == h + l with h, l each <=12 mantissa bits."""
+    c = _SPLIT * x
+    h = c - (c - x)
+    return h, x - h
+
+
+def _fma_pre(a, ha, la, b, hb, lb, c):
+    """fma(a, b, c) with the operands' splits precomputed (shared
+    across several products of the same operand — transforms, crosses).
+    UNGUARDED: callers must have scene-scale (finite, |x| < ~8e34)
+    operands; det_fma is the guarded public entry."""
+    if _FASTMATH:
+        return a * b + c
+    p = a * b
+    e = ((ha * hb - p) + ha * lb + la * hb) + lb * la
+    s = p + c
+    z = s - p
+    t = (p - (s - z)) + (c - z)
+    return s + (t + e)
+
+
+def fma_raw(a, b, c):
+    """Unguarded det_fma for bounded intermediates (see _fma_pre)."""
+    ha, la = _split(a)
+    hb, lb = _split(b)
+    return _fma_pre(a, ha, la, b, hb, lb, c)
 
 
 def det_fma(a, b, c):
@@ -106,6 +161,8 @@ def det_fma(a, b, c):
     comparison's quantization.) Non-finite corrections fall back to the
     plain two-rounding chain.
     """
+    if _FASTMATH:
+        return a * b + c
     p, e = _two_prod(a, b)
     s = p + c
     z = s - p
@@ -120,8 +177,9 @@ def dot3_cray(ax, ay, az, bx, by, bz):
     product, then fma the x and z terms (disassembly of getCameraRay /
     transformPoint / intersectSphere, scripts/diag_vs_c.py):
         fma(az, bz, fma(ax, bx, ay*by))
+    Unguarded (scene-scale operands only — see _fma_pre).
     """
-    return det_fma(az, bz, det_fma(ax, bx, ay * by))
+    return fma_raw(az, bz, fma_raw(ax, bx, ay * by))
 
 
 def vdot_cray(a, b):
@@ -146,11 +204,20 @@ def vdot(a, b):
 
 def vcross(a, b):
     # reference-binary rounding: sub(mul, mul) contracts the FIRST
-    # product into an fms — cross_i = fma(a_j, b_k, -(a_k * b_j))
+    # product into an fms — cross_i = fma(a_j, b_k, -(a_k * b_j)).
+    # Each component appears in two products: split once, reuse.
+    ax, ay, az = a[..., 0], a[..., 1], a[..., 2]
+    bx, by, bz = b[..., 0], b[..., 1], b[..., 2]
+    hax, lax = _split(ax)
+    hay, lay = _split(ay)
+    haz, laz = _split(az)
+    hbx, lbx = _split(bx)
+    hby, lby = _split(by)
+    hbz, lbz = _split(bz)
     return jnp.stack([
-        det_fma(a[..., 1], b[..., 2], -(a[..., 2] * b[..., 1])),
-        det_fma(a[..., 2], b[..., 0], -(a[..., 0] * b[..., 2])),
-        det_fma(a[..., 0], b[..., 1], -(a[..., 1] * b[..., 0])),
+        _fma_pre(ay, hay, lay, bz, hbz, lbz, -(az * by)),
+        _fma_pre(az, haz, laz, bx, hbx, lbx, -(ax * bz)),
+        _fma_pre(ax, hax, lax, by, hby, lby, -(ay * bx)),
     ], axis=-1)
 
 
@@ -171,7 +238,7 @@ def vreflect(incident, n):
     """vecReflect (vector.h:211-213): I - N*(2 dot) contracts to an
     fnma — reflect_i = fma(-N_i, 2dot, I_i)."""
     dot2 = (vdot(n, incident) * f32(2.0))[..., None]
-    return det_fma(-n, dot2, incident)
+    return fma_raw(-n, dot2, incident)
 
 
 def refract(in_dir, normal, ni_over_nt):
@@ -182,14 +249,14 @@ def refract(in_dir, normal, ni_over_nt):
     """
     uv = vnormalize(in_dir)
     dt = vdot(uv, normal)
-    inner = det_fma(-dt, dt, f32(1.0))
+    inner = fma_raw(-dt, dt, f32(1.0))
     nn = ni_over_nt * ni_over_nt
-    discriminant = det_fma(-nn, inner, f32(1.0))
+    discriminant = fma_raw(-nn, inner, f32(1.0))
     ok = discriminant > f32(0.0)
     safe_disc = jnp.maximum(discriminant, f32(0.0))
-    B = det_fma(-normal, dt[..., None], uv)
+    B = fma_raw(-normal, dt[..., None], uv)
     C = B * ni_over_nt[..., None]
-    refracted = det_fma(-normal, exact_sqrt(safe_disc)[..., None], C)
+    refracted = fma_raw(-normal, exact_sqrt(safe_disc)[..., None], C)
     return ok, refracted
 
 
@@ -214,7 +281,7 @@ def random_on_unit_sphere(kind: str, s: smp.SamplerState):
     r = f32(2.0) * exact_sqrt(t)
     # z = 1 - 2*sy contracts to fnma in the reference binary
     return jnp.stack([jnp.cos(a) * r, jnp.sin(a) * r,
-                      det_fma(f32(-2.0), sy, f32(1.0))], axis=-1), s
+                      fma_raw(f32(-2.0), sy, f32(1.0))], axis=-1), s
 
 
 def random_coord_on_unit_disc(kind: str, s: smp.SamplerState):
@@ -263,45 +330,51 @@ def mat34_point(A, p):
     w_dir row), and a 3x4 matvec is too small for the MXU anyway.
     """
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    return jnp.stack([
-        det_fma(z, A[..., 0, 2],
-                det_fma(x, A[..., 0, 0], y * A[..., 0, 1]))
-        + A[..., 0, 3],
-        det_fma(z, A[..., 1, 2],
-                det_fma(x, A[..., 1, 0], y * A[..., 1, 1]))
-        + A[..., 1, 3],
-        det_fma(z, A[..., 2, 2],
-                det_fma(x, A[..., 2, 0], y * A[..., 2, 1]))
-        + A[..., 2, 3],
-    ], axis=-1)
+    hx, lx = _split(x)
+    hz, lz = _split(z)
+
+    def row(i):
+        m0, m2 = A[..., i, 0], A[..., i, 2]
+        h0, l0 = _split(m0)
+        h2, l2 = _split(m2)
+        inner = _fma_pre(x, hx, lx, m0, h0, l0, y * A[..., i, 1])
+        return _fma_pre(z, hz, lz, m2, h2, l2, inner) + A[..., i, 3]
+
+    return jnp.stack([row(0), row(1), row(2)], axis=-1)
 
 
 def mat33_vec(A, v):
     """Linear transform: A (..., 3, >=3)'s 3x3 part @ v (..., 3), with
     the reference binary's transformVector rounding (see mat34_point)."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    return jnp.stack([
-        det_fma(z, A[..., 0, 2],
-                det_fma(x, A[..., 0, 0], y * A[..., 0, 1])),
-        det_fma(z, A[..., 1, 2],
-                det_fma(x, A[..., 1, 0], y * A[..., 1, 1])),
-        det_fma(z, A[..., 2, 2],
-                det_fma(x, A[..., 2, 0], y * A[..., 2, 1])),
-    ], axis=-1)
+    hx, lx = _split(x)
+    hz, lz = _split(z)
+
+    def row(i):
+        m0, m2 = A[..., i, 0], A[..., i, 2]
+        h0, l0 = _split(m0)
+        h2, l2 = _split(m2)
+        inner = _fma_pre(x, hx, lx, m0, h0, l0, y * A[..., i, 1])
+        return _fma_pre(z, hz, lz, m2, h2, l2, inner)
+
+    return jnp.stack([row(0), row(1), row(2)], axis=-1)
 
 
 def mat33_vec_T(A, v):
     """Transpose transform: (A^T) @ v — transformVectorWithTranspose,
     same per-component rounding pattern as mat33_vec."""
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    return jnp.stack([
-        det_fma(z, A[..., 2, 0],
-                det_fma(x, A[..., 0, 0], y * A[..., 1, 0])),
-        det_fma(z, A[..., 2, 1],
-                det_fma(x, A[..., 0, 1], y * A[..., 1, 1])),
-        det_fma(z, A[..., 2, 2],
-                det_fma(x, A[..., 0, 2], y * A[..., 1, 2])),
-    ], axis=-1)
+    hx, lx = _split(x)
+    hz, lz = _split(z)
+
+    def col(i):
+        m0, m2 = A[..., 0, i], A[..., 2, i]
+        h0, l0 = _split(m0)
+        h2, l2 = _split(m2)
+        inner = _fma_pre(x, hx, lx, m0, h0, l0, y * A[..., 1, i])
+        return _fma_pre(z, hz, lz, m2, h2, l2, inner)
+
+    return jnp.stack([col(0), col(1), col(2)], axis=-1)
 
 
 def wrap_min_max(x, lo, hi):
