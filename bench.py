@@ -176,7 +176,14 @@ def main():
         # again in the remat recompute — costs more than the coherence
         # saves in the scan trace (the pool amortizes its sort into the
         # refill instead).
-        trace = r.make_trace_fn(remat="segment_hits", compaction=sched)
+        # sort="boundary": Morton re-sort at compaction boundaries plus
+        # equal-width sort points every 3 bounces — the deep/decohered
+        # segments' kernel time is visit-bound, and re-tightened ray
+        # blocks cut it; image and gradients are bit-identical (the
+        # permutation is detached ints, radiance flushes by lane id).
+        # Measured: 497k -> 565k fwd+bwd paths/s.
+        trace = r.make_trace_fn(remat="segment_hits", compaction=sched,
+                                sort="boundary")
 
         def loss(params):
             img = trace(params, xs, ys, jnp.int32(0), jnp.int32(PASSES))

@@ -555,6 +555,16 @@ class WavefrontRenderer:
         # built OUTSIDE the traced function: _morton_key reads scene
         # bounds via np.asarray, which must see a concrete array
         sort_key_fn = self._morton_key() if sort else None
+        # sort="boundary": Morton/octant re-sort ONLY at compaction
+        # boundaries (~9 argsorts per trace instead of 50): the deep
+        # segments otherwise run fully decohered rays — the kernel's
+        # block-visit count is set by 768-lane bbox unions, and a
+        # boundary sort re-tightens them for every bounce of the
+        # following segment at a cost the segment amortizes
+        boundary_sort = sort == "boundary"
+        if boundary_sort:
+            sort_key_fn = self._morton_key()
+            sort = False
 
         def _trace(params, g, xs, ys, pass_idx, spp):
             B = xs.shape[0]
@@ -591,6 +601,27 @@ class WavefrontRenderer:
                          if ds < depth]
                 if not sched or sched[0][0] != 0:
                     sched = [(0, B)] + sched
+                if boundary_sort:
+                    # split long segments with equal-width sort points:
+                    # early bounces decohere fastest and the first
+                    # segment is the widest — re-tightening the ray
+                    # blocks there buys the most kernel time per sort
+                    # (CRAYTPU_TRACE_SORT_EVERY bounces, default 2)
+                    # swept on the bench config (fwd+bwd kpaths/s):
+                    # 2 -> 549, 3 -> 565, 4 -> 559, 5 -> 531, 6 -> 544
+                    import os as _os
+                    every = int(_os.environ.get(
+                        "CRAYTPU_TRACE_SORT_EVERY", "3"))
+                    expanded = []
+                    for si, (ds, w) in enumerate(sched):
+                        de = sched[si + 1][0] if si + 1 < len(sched) \
+                            else depth
+                        expanded.append((ds, w))
+                        k = ds + every
+                        while k < de:
+                            expanded.append((k, w))
+                            k += every
+                    sched = expanded
                 bounds = [s0 for s0, _ in sched] + [depth]
                 lane = jnp.arange(B, dtype=i32)
                 delta = jnp.zeros((B, 4), f32)
@@ -650,7 +681,7 @@ class WavefrontRenderer:
 
                 for si, (ds, w) in enumerate(sched):
                     de = bounds[si + 1]
-                    if w < alive.shape[0]:
+                    if w < alive.shape[0] or (boundary_sort and si > 0):
                         final = final.at[lane].add(delta)
                         # schedule-contract guard: truncating LIVE lanes
                         # would silently drop radiance and corrupt
@@ -661,7 +692,13 @@ class WavefrontRenderer:
                         final = jnp.where(overflow,
                                           jnp.full_like(final, jnp.nan),
                                           final)
-                        order = live_first(alive, w)      # live-first
+                        if boundary_sort:
+                            # dead lanes get the max key, so a stable
+                            # argsort is live-first AND Morton-coherent
+                            order = jnp.argsort(
+                                sort_key_fn(o, d, alive))[:w]
+                        else:
+                            order = live_first(alive, w)  # live-first
                         o, d, weight = o[order], d[order], weight[order]
                         s = jax.tree.map(lambda x: x[order], s)
                         alive, lane = alive[order], lane[order]

@@ -69,6 +69,7 @@ def _two_prod(x, y):
     return p, e
 
 
+@jax.custom_jvp
 def exact_div(a, b):
     """Correctly-rounded f32 division, bit-identical on CPU and TPU.
 
@@ -95,6 +96,7 @@ def exact_div(a, b):
     return jnp.where(jnp.isfinite(corr), q + corr, q)
 
 
+@jax.custom_jvp
 def exact_sqrt(x):
     """Correctly-rounded f32 sqrt, bit-identical on CPU and TPU.
 
@@ -140,6 +142,7 @@ def _fma_pre(a, ha, la, b, hb, lb, c):
     return s + (t + e)
 
 
+@jax.custom_jvp
 def fma_raw(a, b, c):
     """Unguarded det_fma for bounded intermediates (see _fma_pre)."""
     ha, la = _split(a)
@@ -147,6 +150,7 @@ def fma_raw(a, b, c):
     return _fma_pre(a, ha, la, b, hb, lb, c)
 
 
+@jax.custom_jvp
 def det_fma(a, b, c):
     """Software fused multiply-add: round-once a*b + c, bit-identical on
     CPU and TPU.
@@ -169,6 +173,43 @@ def det_fma(a, b, c):
     t = (p - (s - z)) + (c - z)
     corr = t + e
     return jnp.where(jnp.isfinite(corr), s + corr, a * b + c)
+
+
+# ---- plain-math derivative rules for the deterministic primitives.
+# The exact forward forms exist for golden BIT parity; their derivatives
+# need no such exactness, and AD tracing through the Dekker/2Sum
+# internals multiplies the backward graph ~10x (and reintroduces the
+# masked-non-finite VJP hazards). Each rule is the textbook derivative
+# computed with plain ops; tangents are linear, so reverse mode comes
+# free via jvp transposition. ----
+
+@exact_div.defjvp
+def _exact_div_jvp(primals, tangents):
+    a, b = primals
+    da, db = tangents
+    q = exact_div(a, b)
+    return q, (da - q * db) / b
+
+
+@exact_sqrt.defjvp
+def _exact_sqrt_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    s = exact_sqrt(x)
+    return s, dx / (s + s)
+
+
+@fma_raw.defjvp
+def _fma_raw_jvp(primals, tangents):
+    a, b, c = primals
+    da, db, dc = tangents
+    return fma_raw(a, b, c), da * b + a * db + dc
+
+
+@det_fma.defjvp
+def _det_fma_jvp(primals, tangents):
+    a, b, c = primals
+    da, db, dc = tangents
+    return det_fma(a, b, c), da * b + a * db + dc
 
 
 def dot3_cray(ax, ay, az, bx, by, bz):

@@ -137,3 +137,33 @@ def test_sorted_segment_hits_trace_matches_plain():
     for la, lb in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
         np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_boundary_sorted_trace_matches_plain():
+    """sort='boundary' (Morton re-sort only at compaction boundaries +
+    equal-width sort points every CRAYTPU_TRACE_SORT_EVERY bounces):
+    image bit-identical, grads equal up to cross-lane reduction order.
+    This is the bench's fwd+bwd configuration (497k -> 565k paths/s on
+    the TPU; the permutation is detached ints)."""
+    cs, r, xs, ys = _setup()
+    sched = r.census_schedule(xs, ys, spp=3, depth=DEPTH, min_width=64)
+    base = jax.jit(r.make_trace_fn(depth=DEPTH, remat="segment",
+                                   compaction=sched))
+    fast = jax.jit(r.make_trace_fn(depth=DEPTH, remat="segment_hits",
+                                   compaction=sched, sort="boundary"))
+    a = base(cs.params, xs, ys, jnp.int32(1), jnp.int32(3))
+    b = fast(cs.params, xs, ys, jnp.int32(1), jnp.int32(3))
+    np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+    def loss(trace):
+        def f(params):
+            img = trace(params, xs, ys, jnp.int32(1), jnp.int32(3))
+            return jnp.mean(img[..., :3] * jnp.cos(
+                jnp.arange(img.shape[0], dtype=jnp.float32))[:, None])
+        return f
+
+    g_a = jax.grad(loss(base))(cs.params)
+    g_b = jax.grad(loss(fast))(cs.params)
+    for la, lb in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                                   rtol=2e-5, atol=1e-7)
