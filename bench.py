@@ -145,6 +145,44 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "bench_frame.npy"), np.asarray(accum))
 
+    # ---- stress-scene steady-state rates (VERDICT r4 #6): the
+    # HBM-streaming kernel path (stress_highpoly, 130k tris) and the
+    # SMEM instance-plan path (stress_instances, 64 instances) get
+    # throughput regression coverage, not just golden coverage.
+    # Measured HERE (before the grad section): with the remat residuals
+    # and a second renderer alive, the same render measured 3x slower
+    # (72k vs 228k on highpoly) — in-process HBM state skews late
+    # measurements, and a clean subprocess is not an option on the one
+    # shared TPU chip. Floors: the round-2 captures 0.382M / 0.578M
+    # (BASELINE.md) — currently WARN-only: the r2->r3 kernel rework
+    # (RAY_BLOCK 768 et al.) traded dense-scene visit counts for
+    # scene.json throughput and predates this tracking; see BASELINE. ----
+    STRESS = os.environ.get("BENCH_STRESS", "1") != "0"
+    stress_out = {}
+    if STRESS and scene_path == SCENE:
+        for sname, floor in (("stress_highpoly", 0.382e6),
+                             ("stress_instances", 0.578e6)):
+            spath = os.path.join(REPO, "assets", f"{sname}.json")
+            if not os.path.exists(spath):
+                continue
+            sscene = load_scene_from_file(spath, overrides)
+            sr = WavefrontRenderer(compile_scene(sscene))
+            sr.render_persistent(spp=1)       # compile + warm
+            spaths = sr.width * sr.height * 4
+            t0 = time.perf_counter()
+            acc = sr.render_persistent(spp=4, fetch=False)
+            _jax.block_until_ready(acc)
+            rate = spaths / (time.perf_counter() - t0)
+            stress_out[f"{sname}_paths_per_sec"] = round(rate, 1)
+            if rate < 0.9 * floor:
+                print(f"STRESS REGRESSION: {sname} {rate:,.0f} paths/s "
+                      f"< 0.9x the r2 floor {floor:,.0f}",
+                      file=sys.stderr)
+            else:
+                print(f"stress {sname}: {rate:,.0f} paths/s "
+                      f"(floor {floor:,.0f})", file=sys.stderr)
+            del sr, acc
+
     # ---- forward+backward: value_and_grad of the image loss w.r.t. all
     # material parameters through the compaction-scheduled differentiable
     # trace (one full wavefront batch, same bounce budget): live-lane
@@ -215,40 +253,6 @@ def main():
         "c_ref_this_host_paths_per_sec": C_REF_THIS_HOST,
         "vs_c_ref_this_host": round(pps / C_REF_THIS_HOST, 3),
     }
-
-    # ---- stress-scene steady-state rates (VERDICT r4 #6): the
-    # HBM-streaming kernel path (stress_highpoly, 130k tris) and the
-    # SMEM instance-plan path (stress_instances, 64 instances) get
-    # throughput regression coverage, not just golden coverage. Floors:
-    # the round-2 captures 0.382M / 0.578M paths/s (BASELINE.md). Fewer
-    # passes than the main number (fixed ramp/drain costs understate
-    # steady state slightly — the floors were captured the same way). ----
-    STRESS = os.environ.get("BENCH_STRESS", "1") != "0"
-    stress_out = {}
-    if STRESS and scene_path == SCENE:
-        for sname, floor in (("stress_highpoly", 0.382e6),
-                             ("stress_instances", 0.578e6)):
-            spath = os.path.join(REPO, "assets", f"{sname}.json")
-            if not os.path.exists(spath):
-                continue
-            sscene = load_scene_from_file(spath, overrides)
-            sr = WavefrontRenderer(compile_scene(sscene))
-            sr.render_persistent(spp=1)       # compile + warm
-            spaths = sr.width * sr.height * 4
-            t0 = time.perf_counter()
-            acc = sr.render_persistent(spp=4, fetch=False)
-            _jax.block_until_ready(acc)
-            rate = spaths / (time.perf_counter() - t0)
-            key = f"{sname}_paths_per_sec"
-            stress_out[key] = round(rate, 1)
-            if rate < 0.9 * floor:
-                print(f"STRESS REGRESSION: {sname} {rate:,.0f} paths/s "
-                      f"< 0.9x the r2 floor {floor:,.0f}",
-                      file=sys.stderr)
-            else:
-                print(f"stress {sname}: {rate:,.0f} paths/s "
-                      f"(floor {floor:,.0f})", file=sys.stderr)
-            del sr, acc
     out.update(stress_out)
 
     # ---- perf regression gate: compare against the PREVIOUS round's
