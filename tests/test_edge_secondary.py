@@ -112,7 +112,12 @@ def _repack_occ(tri_packed, v0):
     v2 = base[6:9] + base[0:3]
     e1 = v0 - v1
     e2 = v2 - v0
-    n = jnp.cross(e1, e2)
+    # vm.vcross, NOT jnp.cross: scene compilation packs normals with the
+    # reference binary's fms rounding (compile._cross_fms) — the packed
+    # row must round the same way or the AD trace evaluates at geometry
+    # ulps away from the FD endpoints' compiled scenes
+    from craytpu.ops import vecmath as vm
+    n = vm.vcross(e1, e2)
     row = jnp.concatenate([v0, e1, e2, n])
     return tri_packed.at[2, :12].set(row)
 
